@@ -1,0 +1,14 @@
+"""Test harness: force an 8-device virtual CPU mesh so sharding tests run
+without TPU hardware, matching the driver's dryrun_multichip environment."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the axon TPU plugin default
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # the env var alone does not beat the axon plugin
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,99 @@
+"""KNARPE attention core math (jnp reference implementation).
+
+Parity target: /root/reference/src/models/modules/attention_rpe.py:120-182.
+Three K/V layouts are supported:
+  - dense:    k, v [n_b, n_tgt, n_head, d_head]           (normal attention)
+  - per-src:  k, v [n_b, n_src, n_knn, n_head, d_head]     (KNN-gathered)
+  - per-src + RPE biases rpe_k / rpe_v / rpe_q of the same per-src layout.
+
+The all-invalid guard (attention_rpe.py:112-118) is realized by computing the
+softmax with masked logits and zeroing rows whose targets are all invalid —
+no NaNs are ever produced because at least one logit is kept finite.
+
+The fused Pallas kernel in trafficbotsv15_tpu.ops.pallas_knarpe implements the
+per-src RPE layout; this module is the always-correct XLA fallback and the
+ground truth for kernel tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+_MASK_VALUE = -1e9
+
+
+def _masked_softmax(logits: jnp.ndarray, invalid: Optional[jnp.ndarray]) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Softmax over the last axis with bool invalid mask broadcast over heads.
+
+    Returns (attn, no_valid) where no_valid marks rows with zero valid targets
+    (their attn output must be zeroed by the caller).
+    """
+    if invalid is None:
+        return jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True)) / jnp.sum(
+            jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True)), axis=-1, keepdims=True
+        ), None
+    logits = jnp.where(invalid, _MASK_VALUE, logits)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    e = jnp.where(invalid, 0.0, e)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    no_valid = denom <= 0.0
+    attn = e / jnp.where(no_valid, 1.0, denom)
+    return attn, no_valid[..., 0]
+
+
+def dense_attention(
+    q: jnp.ndarray,  # [n_b, n_src, n_head, d_head]
+    k: jnp.ndarray,  # [n_b, n_tgt, n_head, d_head]
+    v: jnp.ndarray,  # [n_b, n_tgt, n_head, d_head]
+    invalid: Optional[jnp.ndarray],  # [n_b, n_src, n_tgt] bool or None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Standard MHA. Returns (out [n_b, n_src, n_head*d_head], attn [n_b, n_head, n_src, n_tgt])."""
+    d_head = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, q.dtype))
+    logits = jnp.einsum("bshd,bthd->bhst", q, k) * scale
+    inv = None if invalid is None else invalid[:, None, :, :]
+    attn, no_valid = _masked_softmax(logits, inv)
+    out = jnp.einsum("bhst,bthd->bshd", attn, v)
+    if no_valid is not None:
+        out = jnp.where(no_valid.transpose(0, 2, 1)[..., None], 0.0, out)
+    n_b, n_src = q.shape[:2]
+    return out.reshape(n_b, n_src, -1), attn
+
+
+def knn_attention(
+    q: jnp.ndarray,  # [n_b, n_src, n_head, d_head]
+    k: jnp.ndarray,  # [n_b, n_src, n_knn, n_head, d_head]
+    v: jnp.ndarray,  # [n_b, n_src, n_knn, n_head, d_head]
+    invalid: Optional[jnp.ndarray],  # [n_b, n_src, n_knn] bool or None
+    rpe_k: Optional[jnp.ndarray] = None,  # [n_b, n_src, n_knn, n_head, d_head]
+    rpe_v: Optional[jnp.ndarray] = None,
+    rpe_q: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KNN/RPE attention with per-source gathered targets.
+
+    attn_logits = sum((q [+ rpe_q]) * (k [+ rpe_k])) / sqrt(d_head)
+    out = sum(attn * (v [+ rpe_v]))
+
+    Returns (out [n_b, n_src, n_head*d_head], attn [n_b, n_src, n_head, n_knn]).
+    """
+    d_head = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, q.dtype))
+    if rpe_k is not None:
+        k = k + rpe_k
+    qx = q[:, :, None, :, :]  # [n_b, n_src, 1, n_head, d_head]
+    if rpe_q is not None:
+        qx = qx + rpe_q
+    logits = jnp.sum(qx * k, axis=-1) * scale  # [n_b, n_src, n_knn, n_head]
+    logits = jnp.swapaxes(logits, 2, 3)  # [n_b, n_src, n_head, n_knn]
+    inv = None if invalid is None else invalid[:, :, None, :]
+    attn, no_valid = _masked_softmax(logits, inv)
+    if rpe_v is not None:
+        v = v + rpe_v
+    out = jnp.einsum("bshk,bskhd->bshd", attn, v)
+    if no_valid is not None:
+        out = jnp.where(no_valid[..., None], 0.0, out)
+    n_b, n_src = q.shape[:2]
+    return out.reshape(n_b, n_src, -1), attn

@@ -1,0 +1,165 @@
+"""Probability distributions as JAX pytrees.
+
+Parity target: /root/reference/src/models/modules/distributions.py (MyDist,
+DiagGaussian, MultiCategorical with straight-through one-hot, DestCategorical)
+and the BalancedKL loss (/root/reference/src/models/metrics/loss.py:39-77).
+
+Unlike the torch version these are immutable flax.struct dataclasses with
+explicit PRNG keys; the per-agent mixed deterministic sampling used for the
+WOSAC K0 future is a mask argument rather than a Tensor/bool union.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+_LOG2PI = jnp.log(2.0 * jnp.pi)
+
+
+def _det_mask(deterministic, shape) -> jnp.ndarray:
+    """Normalize bool-or-array `deterministic` to a broadcastable bool mask."""
+    if isinstance(deterministic, bool):
+        return jnp.full(shape, deterministic)
+    return jnp.broadcast_to(deterministic, shape)
+
+
+@struct.dataclass
+class DiagGaussian:
+    """Independent Normal over the last axis. mean/std: [..., d]."""
+
+    mean: jnp.ndarray
+    std: jnp.ndarray
+    valid: Optional[jnp.ndarray] = None  # [...]
+
+    def log_prob(self, x: jnp.ndarray) -> jnp.ndarray:
+        z = (x - self.mean) / self.std
+        lp = -0.5 * (z * z + _LOG2PI) - jnp.log(self.std)
+        return jnp.sum(lp, axis=-1)
+
+    def sample(self, key: jax.Array, deterministic: Union[bool, jnp.ndarray] = False) -> jnp.ndarray:
+        """Reparameterized sample; `deterministic` may be a [...] bool mask
+        selecting the mean per element (reference distributions.py:39-56)."""
+        eps = jax.random.normal(key, self.mean.shape, self.mean.dtype)
+        rnd = self.mean + self.std * eps
+        det = _det_mask(deterministic, self.mean.shape[:-1])
+        return jnp.where(det[..., None], self.mean, rnd)
+
+    def repeat(self, repeats: int, axis: int) -> "DiagGaussian":
+        r = lambda t: None if t is None else jnp.repeat(t, repeats, axis=axis)
+        return DiagGaussian(r(self.mean), r(self.std), r(self.valid))
+
+
+@struct.dataclass
+class MultiCategorical:
+    """Independent product of one-hot categoricals with straight-through sampling.
+
+    logits: [..., n_cat, n_class]; samples are flattened [..., n_cat*n_class].
+    """
+
+    logits: jnp.ndarray
+    valid: Optional[jnp.ndarray] = None
+
+    @property
+    def n_cat(self) -> int:
+        return self.logits.shape[-2]
+
+    @property
+    def n_class(self) -> int:
+        return self.logits.shape[-1]
+
+    @property
+    def probs(self) -> jnp.ndarray:
+        return jax.nn.softmax(self.logits, axis=-1)
+
+    def log_prob(self, sample_flat: jnp.ndarray) -> jnp.ndarray:
+        one_hot = sample_flat.reshape(*sample_flat.shape[:-1], self.n_cat, self.n_class)
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        return jnp.sum(one_hot * logp, axis=(-1, -2))
+
+    def sample(self, key: jax.Array, deterministic: Union[bool, jnp.ndarray] = False) -> jnp.ndarray:
+        idx = jax.random.categorical(key, self.logits, axis=-1)  # [..., n_cat]
+        one_hot = jax.nn.one_hot(idx, self.n_class, dtype=self.logits.dtype)
+        probs = self.probs
+        st = one_hot + probs - jax.lax.stop_gradient(probs)  # straight-through
+        det = jax.nn.one_hot(jnp.argmax(probs, axis=-1), self.n_class, dtype=self.logits.dtype)
+        mask = _det_mask(deterministic, self.logits.shape[:-2])
+        out = jnp.where(mask[..., None, None], det, st)
+        return out.reshape(*self.logits.shape[:-2], self.n_cat * self.n_class)
+
+    def repeat(self, repeats: int, axis: int) -> "MultiCategorical":
+        r = lambda t: None if t is None else jnp.repeat(t, repeats, axis=axis)
+        return MultiCategorical(r(self.logits), r(self.valid))
+
+
+@struct.dataclass
+class DestCategorical:
+    """Plain categorical over map polylines (navigation destination)."""
+
+    logits: jnp.ndarray  # [..., n_mp]
+    valid: Optional[jnp.ndarray] = None
+
+    @property
+    def probs(self) -> jnp.ndarray:
+        return jax.nn.softmax(self.logits, axis=-1)
+
+    def log_prob(self, sample: jnp.ndarray) -> jnp.ndarray:
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        return jnp.take_along_axis(logp, sample[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
+    def sample(self, key: jax.Array, deterministic: Union[bool, jnp.ndarray] = False) -> jnp.ndarray:
+        rnd = jax.random.categorical(key, self.logits, axis=-1)
+        det = jnp.argmax(self.logits, axis=-1)
+        mask = _det_mask(deterministic, self.logits.shape[:-1])
+        return jnp.where(mask, det, rnd).astype(jnp.int32)
+
+    def repeat(self, repeats: int, axis: int) -> "DestCategorical":
+        r = lambda t: None if t is None else jnp.repeat(t, repeats, axis=axis)
+        return DestCategorical(r(self.logits), r(self.valid))
+
+
+def kl_diag_gaussian(p: DiagGaussian, q: DiagGaussian) -> jnp.ndarray:
+    """KL(p || q), summed over the event axis. Returns [...]."""
+    var_ratio = (p.std / q.std) ** 2
+    t1 = ((p.mean - q.mean) / q.std) ** 2
+    return 0.5 * jnp.sum(var_ratio + t1 - 1.0 - jnp.log(var_ratio), axis=-1)
+
+
+def kl_multi_categorical(p: MultiCategorical, q: MultiCategorical) -> jnp.ndarray:
+    """KL(p || q), summed over categorical factors. Returns [...]."""
+    logp = jax.nn.log_softmax(p.logits, axis=-1)
+    logq = jax.nn.log_softmax(q.logits, axis=-1)
+    kl = jnp.sum(jnp.exp(logp) * (logp - logq), axis=-1)
+    return jnp.sum(kl, axis=-1)
+
+
+def _detach(d):
+    return jax.tree_util.tree_map(jax.lax.stop_gradient, d)
+
+
+def balanced_kl(posterior, prior, alpha: float, free_nats: float) -> jnp.ndarray:
+    """DreamerV2-style balanced KL with free nats (loss.py:39-77).
+
+    error = max(KL(sg(post) || prior), free) + alpha * max(KL(post || sg(prior)), free)
+    """
+    if isinstance(posterior, DiagGaussian):
+        kl_fn = kl_diag_gaussian
+    elif isinstance(posterior, MultiCategorical):
+        kl_fn = kl_multi_categorical
+    else:
+        raise NotImplementedError(type(posterior))
+
+    if alpha > 0:
+        e0 = kl_fn(_detach(posterior), prior)
+        e1 = kl_fn(posterior, _detach(prior))
+        if free_nats > 0:
+            e0 = jnp.maximum(e0, free_nats)
+            e1 = jnp.maximum(e1, free_nats)
+        return e0 + alpha * e1
+    err = kl_fn(posterior, prior)
+    if free_nats > 0:
+        err = jnp.maximum(err, free_nats)
+    return err

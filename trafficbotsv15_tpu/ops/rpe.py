@@ -1,0 +1,120 @@
+"""Relative pose and KNN target selection.
+
+Parity target: /root/reference/src/utils/rpe.py (get_rel_pose, get_rel_dist,
+get_tgt_knn_idx). All functions run under stop_gradient (the reference wraps
+them in torch.no_grad) and use static shapes so they compile once inside the
+rollout scan. top_k runs on the negated distance — XLA lowers this to a fast
+TPU sort over the fixed-size target axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from trafficbotsv15_tpu.ops.transform import pos2local, rad2local, rad2rot
+
+_INF = jnp.inf
+
+
+def get_rel_pose(
+    pose: jnp.ndarray,
+    invalid: jnp.ndarray,
+    pose2: Optional[jnp.ndarray] = None,
+    invalid2: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pairwise relative poses: target j expressed in the frame of source i.
+
+    Args:
+        pose: [n_sc, n_src, 3] (x, y, yaw) global
+        invalid: [n_sc, n_src] bool
+        pose2/invalid2: targets; defaults to (pose, invalid) for self-pairs.
+
+    Returns:
+        rel_pose: [n_sc, n_src, n_tgt, 3] (dx, dy, dyaw) in source frames
+        rel_dist: [n_sc, n_src, n_tgt], +inf where either end is invalid
+    """
+    pose = jax.lax.stop_gradient(pose)
+    if pose2 is None:
+        pose2, invalid2 = pose, invalid
+    else:
+        pose2 = jax.lax.stop_gradient(pose2)
+
+    xy, yaw = pose[..., :2], pose[..., 2]
+    xy2, yaw2 = pose2[..., :2], pose2[..., 2]
+    local_xy = pos2local(xy2[:, None, :, :], xy[:, :, None, :], rad2rot(yaw))
+    local_yaw = rad2local(yaw2[:, None, :], yaw, cast=False)
+    rel_pose = jnp.concatenate([local_xy, local_yaw[..., None]], axis=-1)
+    rel_dist = jnp.linalg.norm(rel_pose[..., :2], axis=-1)
+    rel_dist = jnp.where(invalid[:, :, None] | invalid2[:, None, :], _INF, rel_dist)
+    return rel_pose, rel_dist
+
+
+def get_rel_dist(
+    xy: jnp.ndarray,
+    invalid: jnp.ndarray,
+    xy2: Optional[jnp.ndarray] = None,
+    invalid2: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Pairwise euclidean distances [n_sc, n_src, n_tgt], +inf where invalid."""
+    xy = jax.lax.stop_gradient(xy)
+    if xy2 is None:
+        xy2, invalid2 = xy, invalid
+    else:
+        xy2 = jax.lax.stop_gradient(xy2)
+    rel_dist = jnp.linalg.norm(xy[:, :, None, :] - xy2[:, None, :, :], axis=-1)
+    return jnp.where(invalid[:, :, None] | invalid2[:, None, :], _INF, rel_dist)
+
+
+def get_tgt_knn(
+    tgt_invalid: jnp.ndarray,
+    rel_pose: Optional[jnp.ndarray],
+    rel_dist: jnp.ndarray,
+    n_tgt_knn: int,
+    dist_limit,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Select the K nearest valid targets per source.
+
+    Args:
+        tgt_invalid: [n_sc, n_tgt] bool
+        rel_pose: [n_sc, n_src, n_tgt, 3] or None
+        rel_dist: [n_sc, n_src, n_tgt] (+inf marks invalid pairs)
+        n_tgt_knn: static K, 0 < K < n_tgt
+        dist_limit: float or broadcastable array; pairs beyond it are masked.
+
+    Returns:
+        idx_tgt: [n_sc, n_src, K] int32
+        tgt_invalid_knn: [n_sc, n_src, K] bool
+        rpe: [n_sc, n_src, K, 3] or None
+    """
+    n_tgt = rel_dist.shape[-1]
+    assert 0 < n_tgt_knn < n_tgt, (n_tgt_knn, n_tgt)
+
+    neg_dist_knn, idx_tgt = jax.lax.top_k(-rel_dist, n_tgt_knn)
+    dist_knn = -neg_dist_knn  # [n_sc, n_src, K]
+
+    invalid_expand = jnp.broadcast_to(tgt_invalid[:, None, :], rel_dist.shape)
+    tgt_invalid_knn = jnp.take_along_axis(invalid_expand, idx_tgt, axis=-1)
+    tgt_invalid_knn = tgt_invalid_knn | (dist_knn > dist_limit)
+
+    rpe = None
+    if rel_pose is not None:
+        rpe = jnp.take_along_axis(rel_pose, idx_tgt[..., None], axis=2)
+    return idx_tgt.astype(jnp.int32), tgt_invalid_knn, rpe
+
+
+def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-source target features.
+
+    Args:
+        feature: [n_sc, n_tgt, d]
+        idx_tgt: [n_sc, n_src, K]
+    Returns:
+        [n_sc, n_src, K, d]
+    """
+    n_sc, n_src, k = idx_tgt.shape
+    flat = idx_tgt.reshape(n_sc, n_src * k)
+    out = jnp.take_along_axis(feature, flat[..., None], axis=1)
+    return out.reshape(n_sc, n_src, k, feature.shape[-1])
