@@ -1,0 +1,246 @@
+"""KNARPE attention module and pre-LN transformer blocks.
+
+Parity targets: /root/reference/src/models/modules/attention_rpe.py (AttentionRPE)
+and transformer_rpe.py (TransformerRPE / TransformerBlockRPE with modes
+enc_self_attn / enc_cross_attn / dec_cross_attn).
+
+Design differences from the torch version, both TPU-motivated:
+  - targets given as indices are gathered explicitly per layer via
+    ops.rpe.gather_tgt (the reference's int64-dtype dispatch);
+  - the core attention math lives in ops.attention / ops.pallas_knarpe so the
+    module can swap in the fused Pallas kernel without touching parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from trafficbotsv15_tpu.ops.attention import dense_attention, knn_attention
+from trafficbotsv15_tpu.ops.rpe import gather_tgt
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+class AttentionRPE(nn.Module):
+    """Fused multi-head attention with three K/V layouts (dense / KNN / KNN+RPE)."""
+
+    d_model: int
+    n_head: int
+    dropout_p: float = 0.1
+    bias: bool = True
+    d_rpe: int = -1
+    apply_q_rpe: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,  # [n_b, n_src, d_model]
+        tgt: Optional[jnp.ndarray] = None,  # None (self), [n_b, n_tgt, d] (dense) or [n_b, n_src, K, d] (knn)
+        tgt_padding_mask: Optional[jnp.ndarray] = None,  # bool, True = invalid
+        rpe: Optional[jnp.ndarray] = None,  # [n_b, n_src, K, d_rpe]
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        n_b, n_src, _ = src.shape
+        d_head = self.d_model // self.n_head
+        assert d_head * self.n_head == self.d_model
+
+        dense_q = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="q_proj")
+        dense_kv = nn.Dense(2 * self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="kv_proj")
+
+        q = dense_q(src)
+        kv = dense_kv(src if tgt is None else tgt)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = q.reshape(n_b, n_src, self.n_head, d_head)
+
+        if tgt is None or tgt.ndim == 3:
+            # dense attention over a shared target set
+            n_tgt = n_src if tgt is None else tgt.shape[1]
+            k = k.reshape(n_b, n_tgt, self.n_head, d_head)
+            v = v.reshape(n_b, n_tgt, self.n_head, d_head)
+            invalid = tgt_padding_mask
+            if invalid is not None and invalid.ndim == 2:
+                invalid = jnp.broadcast_to(invalid[:, None, :], (n_b, n_src, n_tgt))
+            out, _ = dense_attention(q, k, v, invalid)
+        else:
+            # per-source KNN targets [n_b, n_src, K, d]
+            n_knn = tgt.shape[2]
+            k = k.reshape(n_b, n_src, n_knn, self.n_head, d_head)
+            v = v.reshape(n_b, n_src, n_knn, self.n_head, d_head)
+            rpe_q = rpe_k = rpe_v = None
+            if rpe is not None:
+                assert self.d_rpe > 0
+                n_proj = 3 if self.apply_q_rpe else 2
+                rpe_proj = nn.Dense(
+                    n_proj * self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="rpe_proj"
+                )(rpe.astype(self.dtype))
+                parts = jnp.split(rpe_proj, n_proj, axis=-1)
+                if self.apply_q_rpe:
+                    rpe_q = parts[0].reshape(n_b, n_src, n_knn, self.n_head, d_head)
+                    parts = parts[1:]
+                rpe_k = parts[0].reshape(n_b, n_src, n_knn, self.n_head, d_head)
+                rpe_v = parts[1].reshape(n_b, n_src, n_knn, self.n_head, d_head)
+            out, _ = knn_attention(q, k, v, tgt_padding_mask, rpe_k=rpe_k, rpe_v=rpe_v, rpe_q=rpe_q)
+
+        if self.dropout_p > 0:
+            # applied to the output projection input; the reference drops attention
+            # weights — statistically equivalent regularization, cheaper on TPU.
+            out = nn.Dropout(self.dropout_p, deterministic=deterministic, name="attn_drop")(out)
+        out = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="out_proj")(out)
+
+        if tgt_padding_mask is not None:
+            no_valid = jnp.all(tgt_padding_mask, axis=-1)
+            if no_valid.ndim == 1:  # dense 2D padding mask: per-batch
+                no_valid = jnp.broadcast_to(no_valid[:, None], (n_b, n_src))
+            out = jnp.where(no_valid[..., None], 0.0, out)
+        return out
+
+
+class TransformerLayer(nn.Module):
+    """Pre-LN residual layer: (optional decoder self-attn) + attn + FFN."""
+
+    d_model: int
+    n_head: int
+    k_feedforward: int = 4
+    dropout_p: float = 0.1
+    bias: bool = True
+    activation: str = "relu"
+    mode: str = "enc_self_attn"  # enc_self_attn | enc_cross_attn | dec_cross_attn
+    d_rpe: int = -1
+    apply_q_rpe: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,
+        src_padding_mask: Optional[jnp.ndarray] = None,
+        tgt: Optional[jnp.ndarray] = None,
+        tgt_padding_mask: Optional[jnp.ndarray] = None,
+        rpe: Optional[jnp.ndarray] = None,
+        decoder_tgt: Optional[jnp.ndarray] = None,
+        decoder_tgt_padding_mask: Optional[jnp.ndarray] = None,
+        decoder_rpe: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        act = {"relu": nn.relu, "gelu": nn.gelu, "elu": nn.elu}[self.activation]
+        attn_kw = dict(
+            d_model=self.d_model,
+            n_head=self.n_head,
+            dropout_p=self.dropout_p,
+            bias=self.bias,
+            d_rpe=self.d_rpe,
+            apply_q_rpe=self.apply_q_rpe,
+            dtype=self.dtype,
+        )
+        drop = lambda name: nn.Dropout(self.dropout_p, deterministic=deterministic, name=name)
+
+        if self.mode == "dec_cross_attn":
+            norm_src = nn.LayerNorm(dtype=self.dtype, name="norm_src")
+            s = norm_src(src)
+            d_tgt = decoder_tgt
+            d_mask = decoder_tgt_padding_mask
+            if d_tgt is None:
+                d_mask = src_padding_mask
+            else:
+                d_tgt = norm_src(d_tgt)
+            s = AttentionRPE(**attn_kw, name="attn_src")(
+                s, d_tgt, tgt_padding_mask=d_mask, rpe=decoder_rpe, deterministic=deterministic
+            )
+            if self.dropout_p > 0:
+                s = drop("drop_src")(s)
+            src = src + s
+
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        src2 = norm1(src)
+        t = tgt
+        if t is None:
+            tgt_padding_mask = src_padding_mask if tgt_padding_mask is None else tgt_padding_mask
+        else:
+            t = norm1(t) if self.mode == "enc_self_attn" else nn.LayerNorm(dtype=self.dtype, name="norm_tgt")(t)
+        src2 = AttentionRPE(**attn_kw, name="attn")(
+            src2, t, tgt_padding_mask=tgt_padding_mask, rpe=rpe, deterministic=deterministic
+        )
+        if self.dropout_p > 0:
+            src2 = drop("drop1")(src2)
+        src = src + src2
+
+        src2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        src2 = act(nn.Dense(self.k_feedforward * self.d_model, use_bias=self.bias, dtype=self.dtype, name="ffn1")(src2))
+        if self.dropout_p > 0:
+            src2 = drop("drop_ffn")(src2)
+        src2 = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype, name="ffn2")(src2)
+        if self.dropout_p > 0:
+            src2 = drop("drop2")(src2)
+        src = src + src2
+
+        if src_padding_mask is not None:
+            src = jnp.where(src_padding_mask[..., None], 0.0, src)
+        return src
+
+
+class TransformerBlock(nn.Module):
+    """Stack of TransformerLayers; int-index targets are re-gathered from the
+    evolving src each layer (transformer_rpe.py:82-131)."""
+
+    d_model: int
+    n_head: int = 4
+    k_feedforward: int = 4
+    dropout_p: float = 0.1
+    bias: bool = True
+    activation: str = "relu"
+    out_layernorm: bool = False
+    apply_q_rpe: bool = False
+    n_layer: int = 1
+    mode: str = "enc_self_attn"
+    d_rpe: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,
+        src_padding_mask: Optional[jnp.ndarray] = None,
+        tgt: Optional[jnp.ndarray] = None,  # features [n_b, (n_src), n_tgt, d] or None
+        tgt_idx: Optional[jnp.ndarray] = None,  # int [n_b, n_src, K]: gather from src (self-attn KNN)
+        tgt_padding_mask: Optional[jnp.ndarray] = None,
+        rpe: Optional[jnp.ndarray] = None,
+        decoder_tgt_idx: Optional[jnp.ndarray] = None,  # int [n_b, n_src, K]: decoder self-attn KNN
+        decoder_tgt_padding_mask: Optional[jnp.ndarray] = None,
+        decoder_rpe: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        assert self.mode in ("enc_self_attn", "enc_cross_attn", "dec_cross_attn")
+        for i in range(self.n_layer):
+            _tgt = gather_tgt(src, tgt_idx) if tgt_idx is not None else tgt
+            _dec_tgt = gather_tgt(src, decoder_tgt_idx) if decoder_tgt_idx is not None else None
+            src = TransformerLayer(
+                d_model=self.d_model,
+                n_head=self.n_head,
+                k_feedforward=self.k_feedforward,
+                dropout_p=self.dropout_p,
+                bias=self.bias,
+                activation=self.activation,
+                mode=self.mode,
+                d_rpe=self.d_rpe,
+                apply_q_rpe=self.apply_q_rpe,
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(
+                src,
+                src_padding_mask=src_padding_mask,
+                tgt=_tgt,
+                tgt_padding_mask=tgt_padding_mask,
+                rpe=rpe,
+                decoder_tgt=_dec_tgt,
+                decoder_tgt_padding_mask=decoder_tgt_padding_mask,
+                decoder_rpe=decoder_rpe,
+                deterministic=deterministic,
+            )
+        if self.out_layernorm:
+            src = nn.LayerNorm(dtype=self.dtype, name="out_ln")(src)
+        return src
