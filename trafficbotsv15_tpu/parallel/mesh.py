@@ -1,0 +1,67 @@
+"""Device mesh and sharding rules.
+
+The reference scales with PyTorch-Lightning DDP over NCCL (run.py:50-52);
+here the equivalent is GSPMD data parallelism: one `jax.sharding.Mesh` with a
+"data" axis over ICI, the batch (scenario) dimension sharded across it, and
+parameters replicated. XLA inserts the gradient all-reduce (psum) during the
+backward pass — no explicit collectives needed in user code. The WOSAC
+joint-future replication (batch x 32) rides the same axis: futures are
+flattened into the scenario dim before sharding, so rollout replicas spread
+across chips.
+
+Extension axes (model/pipeline) are declared here so larger configs can shard
+hidden dims later without touching call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Create a (data, model) mesh. Defaults to all devices on the data axis."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if n_data is None:
+        n_data = len(devices) // n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (scenario) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch dict onto the mesh, scenario dim sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def pad_batch_to_devices(batch, n_devices: int):
+    """Pad the scenario dim so it divides the data-axis size (padded scenarios
+    have all-invalid agents and contribute nothing to sums)."""
+    import numpy as np
+
+    n_sc = next(iter(batch.values())).shape[0]
+    rem = n_sc % n_devices
+    if rem == 0:
+        return batch, n_sc
+    pad = n_devices - rem
+
+    def _pad(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), widths)
+
+    return {k: _pad(v) for k, v in batch.items()}, n_sc

@@ -1,0 +1,328 @@
+"""Closed-loop rollout as a single fixed-shape jax.lax.scan.
+
+Parity target: the 90-iteration python loop in
+/root/reference/src/pl_modules/waymo_motion.py:206-311 plus the per-step
+forward (:118-204). The reference's stateful Dynamics / TeacherForcing /
+RolloutBuffer objects map onto:
+
+  - SimCarry: the scan carry (agent state, rolling history window, tl state,
+    rule-checker accumulators, RNN hiddens, PRNG key)
+  - per-step xs: pre-computed teacher-forcing overrides + GT slices
+  - stacked scan outputs: the RolloutBuffer
+
+Gradient semantics match the reference exactly: with detach_model_input the
+encoder sees stop_gradient'ed states (written into the history window), while
+the pose/motion chain through the dynamics integrator keeps gradients, so BPTT
+flows through the 90-step action chain only (waymo_motion.py:158-161).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from trafficbotsv15_tpu.config import ExperimentCfg
+from trafficbotsv15_tpu.models.tokens import MapTokens, TlTokens
+from trafficbotsv15_tpu.sim import dynamics as dyn
+from trafficbotsv15_tpu.sim import rewards as rew
+from trafficbotsv15_tpu.sim.rule_checker import RuleCheckerState, RuleCheckerStatics, check_rules
+from trafficbotsv15_tpu.sim.teacher_forcing import error_reset_mask
+
+
+@struct.dataclass
+class SimCarry:
+    valid: jnp.ndarray  # [n_sc, n_ag]
+    disabled: jnp.ndarray  # [n_sc, n_ag]
+    pose: jnp.ndarray  # [n_sc, n_ag, 3]
+    motion: jnp.ndarray  # [n_sc, n_ag, 3]
+    tl_state: jnp.ndarray  # [n_sc, n_tl, 5] float
+    hist_valid: jnp.ndarray  # [n_sc, n_ag, W]
+    hist_pose: jnp.ndarray  # [n_sc, n_ag, W, 3]
+    hist_motion: jnp.ndarray  # [n_sc, n_ag, W, 3]
+    hist_tl_state: jnp.ndarray  # [n_sc, n_tl, W, 5]
+    hist_step_invalid: jnp.ndarray  # [W] bool (True = slot not yet filled)
+    rule_state: RuleCheckerState
+    rnn_hidden: Optional[jnp.ndarray]
+    tl_rnn_hidden: Optional[jnp.ndarray]
+    key: jax.Array
+
+
+@struct.dataclass
+class RolloutBuffer:
+    """Stacked rollout outputs, step axis at dim 2 (buffer.py:80-101)."""
+
+    pred_valid: jnp.ndarray  # [n_sc, n_ag, n_step]
+    pred_pose: jnp.ndarray  # [n_sc, n_ag, n_step, 3]
+    pred_motion: jnp.ndarray  # [n_sc, n_ag, n_step, 3]
+    action_log_prob: jnp.ndarray  # [n_sc, n_ag, n_step]
+    tl_state_nll: jnp.ndarray  # [n_sc, n_tl, n_step]
+    tl_state_nll_invalid: jnp.ndarray  # [n_sc, n_tl, n_step]
+    mask_teacher_forcing: jnp.ndarray  # [n_sc, n_ag, n_step]
+    diffbar_reward: Dict[str, jnp.ndarray]  # each [n_sc, n_ag, n_step]
+    violation: Dict[str, jnp.ndarray]  # each [n_sc, n_ag, n_step]
+    tl_state: jnp.ndarray  # [n_sc, n_tl, n_step, 5] (post-override, for vis/eval)
+    navi_log_prob: jnp.ndarray  # [n_sc, n_ag, 1]
+    navi_log_prob_valid: jnp.ndarray  # [n_sc, n_ag, 1]
+    log_prob: Optional[jnp.ndarray] = None  # [n_sc, n_ag] joint-future scores
+
+    def flatten_joint_future(self, k: int) -> "RolloutBuffer":
+        """[n_sc*k, ...] -> [n_sc, k, ...] on every leaf (buffer.py:115-146)."""
+        def r(x):
+            if x is None:
+                return None
+            return x.reshape(x.shape[0] // k, k, *x.shape[1:])
+        return jax.tree_util.tree_map(r, self)
+
+
+def compute_log_prob(buffer: RolloutBuffer, latent_log_prob: Optional[jnp.ndarray]) -> RolloutBuffer:
+    """Joint-future scores from navi + latent log probs (buffer.py:107-113)."""
+    lp = jnp.sum(buffer.navi_log_prob * buffer.navi_log_prob_valid, axis=-1)
+    denom = jnp.sum(buffer.navi_log_prob_valid, axis=-1)
+    lp = jnp.where(denom > 0, lp / jnp.maximum(denom, 1), 0.0)
+    if latent_log_prob is not None:
+        lp = lp + latent_log_prob.reshape(lp.shape)
+    return dataclasses.replace(buffer, log_prob=lp)
+
+
+def _pad_gt_to(arr: jnp.ndarray, n_step_roll: int, fill=0):
+    """GT arrays cover steps [0, T); rollout needs steps [1, n_step_roll]. Pad."""
+    t = arr.shape[2]
+    need = n_step_roll + 1
+    if t >= need:
+        return arr[:, :, 1:need]
+    pad = [(0, 0), (0, 0), (0, need - t)] + [(0, 0)] * (arr.ndim - 3)
+    return jnp.pad(arr, pad, constant_values=fill)[:, :, 1:need]
+
+
+def rollout(
+    model,
+    params,
+    cfg: ExperimentCfg,
+    mp_tokens: MapTokens,
+    tl_tokens: TlTokens,
+    # static per-agent inputs
+    ag_attr: jnp.ndarray,  # [n_sc, n_ag, attr]
+    ag_type: jnp.ndarray,  # [n_sc, n_ag, 3]
+    ag_size: jnp.ndarray,  # [n_sc, n_ag, 3]
+    ag_latent: Optional[jnp.ndarray],
+    ag_latent_valid: Optional[jnp.ndarray],
+    ag_navi: Optional[jnp.ndarray],
+    ag_navi_valid: jnp.ndarray,
+    ag_navi_log_prob: jnp.ndarray,  # [n_sc, n_ag]
+    # ground truth (only first gt_valid.shape[2] steps available)
+    gt_valid: jnp.ndarray,  # [n_sc, n_ag, T]
+    gt_pose: jnp.ndarray,
+    gt_motion: jnp.ndarray,
+    gt_tl_state: jnp.ndarray,  # [n_sc, n_tl, T_tl, 5]
+    # teacher forcing (precomputed masks over GT steps)
+    ag_forcing: jnp.ndarray,  # [n_sc, n_ag, T]
+    tl_forcing: jnp.ndarray,  # [n_sc, n_tl, T_tl]
+    # rule checking
+    rule_statics: RuleCheckerStatics,
+    rule_state0: RuleCheckerState,
+    check_level: int,
+    # control
+    key: jax.Array,
+    step_end: Optional[int] = None,
+    deterministic_action: bool = True,
+    train: bool = False,
+) -> RolloutBuffer:
+    """Run the closed-loop simulation from step 1 to step_end inclusive."""
+    step_end = cfg.time_step_end if step_end is None else step_end
+    n_step_roll = step_end  # steps 1..step_end
+    n_sc, n_ag, t_gt = gt_valid.shape
+    n_tl = gt_tl_state.shape[1]
+    W = max(cfg.model.temp_window_size, 1)
+    detach = cfg.training_detach_model_input
+
+    # ---- per-step scan inputs (teacher forcing + GT slices), [n_step_roll, ...]
+    def to_steps(x):
+        return jnp.moveaxis(x, 2, 0)
+
+    tf_valid = _pad_gt_to(ag_forcing, n_step_roll, False)
+    tf_pose = _pad_gt_to(gt_pose, n_step_roll)
+    tf_motion = _pad_gt_to(gt_motion, n_step_roll)
+    gt_valid_s = _pad_gt_to(gt_valid, n_step_roll, False)
+    tl_forcing_s = _pad_gt_to(tl_forcing, n_step_roll, False)
+    gt_tl_state_s = _pad_gt_to(gt_tl_state, n_step_roll, False)
+    t_tl = gt_tl_state.shape[2]
+    tl_avail = (jnp.arange(1, n_step_roll + 1) < t_tl)  # [n_step_roll]
+    gt_avail = (jnp.arange(1, n_step_roll + 1) < t_gt)
+    # previous-step GT for error-threshold resets
+    gt_valid_prev = _pad_gt_to(jnp.roll(gt_valid, 1, axis=2), n_step_roll, False)
+    gt_pose_prev = _pad_gt_to(jnp.roll(gt_pose, 1, axis=2), n_step_roll)
+    gt_motion_prev = _pad_gt_to(jnp.roll(gt_motion, 1, axis=2), n_step_roll)
+
+    xs = dict(
+        tf_valid=to_steps(tf_valid),
+        tf_pose=to_steps(tf_pose),
+        tf_motion=to_steps(tf_motion),
+        gt_valid=to_steps(gt_valid_s),
+        gt_pose=to_steps(tf_pose),  # identical tensor: GT pose at step
+        gt_motion=to_steps(tf_motion),
+        gt_valid_prev=to_steps(gt_valid_prev),
+        gt_pose_prev=to_steps(gt_pose_prev),
+        gt_motion_prev=to_steps(gt_motion_prev),
+        tl_forcing=to_steps(tl_forcing_s),
+        gt_tl_state=to_steps(gt_tl_state_s),
+        tl_avail=tl_avail,
+        gt_avail=gt_avail,
+    )
+
+    # ---- initial carry: state at step 0 (dynamics.py:29-64)
+    carry = SimCarry(
+        valid=gt_valid[:, :, 0],
+        disabled=jnp.zeros((n_sc, n_ag), bool),
+        pose=gt_pose[:, :, 0],
+        motion=gt_motion[:, :, 0],
+        tl_state=gt_tl_state[:, :, 0].astype(jnp.float32),
+        hist_valid=jnp.zeros((n_sc, n_ag, W), bool),
+        hist_pose=jnp.zeros((n_sc, n_ag, W, 3), gt_pose.dtype),
+        hist_motion=jnp.zeros((n_sc, n_ag, W, 3), gt_motion.dtype),
+        hist_tl_state=jnp.zeros((n_sc, n_tl, W, 5), jnp.float32),
+        hist_step_invalid=jnp.ones((W,), bool),
+        rule_state=rule_state0,
+        rnn_hidden=None,
+        tl_rnn_hidden=None,
+        key=key,
+    )
+
+    tf_cfg = cfg.teacher_forcing_training  # thresholds only; mask already precomputed
+
+    def step_fn(c: SimCarry, x) -> Tuple[SimCarry, Any]:
+        key, k_action, k_drop = jax.random.split(c.key, 3)
+
+        # push current (post-override) state into the rolling window — detached
+        # when training_detach_model_input (encoder input only).
+        sg = jax.lax.stop_gradient if detach else (lambda v: v)
+        hist_valid = jnp.concatenate([c.hist_valid[:, :, 1:], c.valid[:, :, None]], axis=2)
+        hist_pose = jnp.concatenate([c.hist_pose[:, :, 1:], sg(c.pose)[:, :, None]], axis=2)
+        hist_motion = jnp.concatenate([c.hist_motion[:, :, 1:], sg(c.motion)[:, :, None]], axis=2)
+        hist_tl = jnp.concatenate([c.hist_tl_state[:, :, 1:], sg(c.tl_state)[:, :, None]], axis=2)
+        hist_step_invalid = jnp.concatenate([c.hist_step_invalid[1:], jnp.zeros((1,), bool)])
+
+        rngs = {"dropout": k_drop} if train else None
+        action_dist, tl_logits, rnn_hidden, tl_rnn_hidden = model.apply(
+            {"params": params},
+            ag_valid=c.valid,
+            hist_ag_valid=hist_valid,
+            hist_ag_pose=hist_pose,
+            hist_ag_motion=hist_motion,
+            hist_tl_state=hist_tl,
+            hist_step_invalid=hist_step_invalid,
+            ag_attr=ag_attr,
+            ag_type=ag_type,
+            ag_latent=ag_latent,
+            ag_latent_valid=ag_latent_valid,
+            ag_navi=ag_navi,
+            ag_navi_valid=ag_navi_valid,
+            tl_tokens=tl_tokens,
+            mp_tokens=mp_tokens,
+            rnn_hidden=c.rnn_hidden,
+            tl_rnn_hidden=c.tl_rnn_hidden,
+            deterministic=not train,
+            method="step",
+            rngs=rngs,
+        )
+
+        # sample action, integrate dynamics (dynamics.py:66-120)
+        action_unbounded = action_dist.sample(k_action, deterministic_action)
+        action_log_prob = action_dist.log_prob(jax.lax.stop_gradient(action_unbounded))
+        action_log_prob = jnp.where(c.valid, action_log_prob, 0.0)
+        new_pose, new_motion, _ = dyn.step_dynamics(
+            c.pose, c.motion, c.valid, action_unbounded, ag_type, cfg.dynamics
+        )
+
+        pred_valid, pred_pose, pred_motion = c.valid, new_pose, new_motion
+
+        # teacher forcing override (+ optional error-threshold reset)
+        force = x["tf_valid"] | error_reset_mask(
+            tf_cfg, pred_valid, jax.lax.stop_gradient(pred_pose), jax.lax.stop_gradient(pred_motion),
+            x["gt_valid_prev"], x["gt_pose_prev"], x["gt_motion_prev"],
+        )
+        ov_valid, ov_pose, ov_motion = dyn.override_ag(
+            pred_valid, pred_pose, pred_motion, c.disabled, force, x["tf_pose"], x["tf_motion"]
+        )
+        new_tl_state = dyn.override_tl(tl_logits, x["tl_forcing"], x["gt_tl_state"]).astype(jnp.float32)
+
+        # rule checking on the pre-override prediction (waymo_motion.py:249-251)
+        rule_state, violations = check_rules(
+            rule_statics, c.rule_state,
+            jax.lax.stop_gradient(pred_valid), jax.lax.stop_gradient(pred_pose),
+            jax.lax.stop_gradient(pred_motion), new_tl_state,
+            check_level,
+        )
+
+        # differentiable reward vs GT at this step
+        step_gt_valid = x["gt_valid"] & x["gt_avail"]
+        reward = rew.diffbar_reward(
+            cfg.reward, pred_valid, pred_pose, pred_motion,
+            step_gt_valid, x["gt_pose"], x["gt_motion"], ag_size,
+        )
+
+        # tl-state NLL vs GT argmax (waymo_motion.py:270-277)
+        gt_tl_idx = jnp.argmax(x["gt_tl_state"], axis=-1)
+        logp = jax.nn.log_softmax(tl_logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, gt_tl_idx[..., None], axis=-1)[..., 0]
+        nll = jnp.where(x["tl_avail"], nll, 0.0)
+        nll_invalid = jnp.where(x["tl_avail"], tl_tokens.invalid, jnp.ones_like(tl_tokens.invalid))
+
+        # disable agents that left the map unless GT-valid (dynamics.py:165-181)
+        disable = violations["outside_map_this_step"] & ~step_gt_valid
+        disabled = c.disabled | disable
+        ov_valid = ov_valid & ~disable
+
+        out = dict(
+            pred_valid=pred_valid,
+            pred_pose=pred_pose,
+            pred_motion=pred_motion,
+            action_log_prob=action_log_prob,
+            tl_state_nll=nll,
+            tl_state_nll_invalid=nll_invalid,
+            mask_teacher_forcing=force,
+            diffbar_reward=reward,
+            violation=violations,
+            tl_state=new_tl_state,
+        )
+        new_carry = SimCarry(
+            valid=ov_valid,
+            disabled=disabled,
+            pose=ov_pose,
+            motion=ov_motion,
+            tl_state=new_tl_state,
+            hist_valid=hist_valid,
+            hist_pose=hist_pose,
+            hist_motion=hist_motion,
+            hist_tl_state=hist_tl,
+            hist_step_invalid=hist_step_invalid,
+            rule_state=rule_state,
+            rnn_hidden=rnn_hidden,
+            tl_rnn_hidden=tl_rnn_hidden,
+            key=key,
+        )
+        return new_carry, out
+
+    _, outs = jax.lax.scan(step_fn, carry, xs)
+
+    # step axis first -> step axis at dim 2
+    def to_buffer(x):
+        return jnp.moveaxis(x, 0, 2)
+
+    return RolloutBuffer(
+        pred_valid=to_buffer(outs["pred_valid"]),
+        pred_pose=to_buffer(outs["pred_pose"]),
+        pred_motion=to_buffer(outs["pred_motion"]),
+        action_log_prob=to_buffer(outs["action_log_prob"]),
+        tl_state_nll=to_buffer(outs["tl_state_nll"]),
+        tl_state_nll_invalid=to_buffer(outs["tl_state_nll_invalid"]),
+        mask_teacher_forcing=to_buffer(outs["mask_teacher_forcing"]),
+        diffbar_reward={k: to_buffer(v) for k, v in outs["diffbar_reward"].items()},
+        violation={k: to_buffer(v) for k, v in outs["violation"].items()},
+        tl_state=to_buffer(outs["tl_state"]),
+        navi_log_prob=ag_navi_log_prob[..., None],
+        navi_log_prob_valid=ag_navi_valid[..., None],
+    )

@@ -1,0 +1,288 @@
+"""Traffic rule checker as a pure step function with accumulator state.
+
+Parity target: /root/reference/src/utils/traffic_rule_checker.py. The torch
+version is a stateful object; here the static per-rollout data lives in
+RuleCheckerStatics (built once before the scan) and the accumulated flags in
+RuleCheckerState (part of the scan carry). check_level:
+  0 = training: only outside_map (the reference's disable_check=True path)
+  1 = full evaluation checks.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from trafficbotsv15_tpu.ops.transform import cast_rad
+from trafficbotsv15_tpu.sim.wosac_collision import check_collided_wosac, get_ag_bbox
+
+
+@struct.dataclass
+class RuleCheckerStatics:
+    mp_boundary: jnp.ndarray  # [n_sc, 4]
+    ag_size: jnp.ndarray  # [n_sc, n_ag, 2] scaled (l, w)
+    collision_invalid_mask: jnp.ndarray  # [n_sc, n_ag, n_ag]
+    road_edge: jnp.ndarray  # [n_sc, n_seg, 2, 2]
+    road_edge_valid: jnp.ndarray  # [n_sc, n_seg]
+    lane_center: jnp.ndarray  # [n_sc, n_seg, 2]
+    lane_center_valid: jnp.ndarray  # [n_sc, n_seg]
+    veh_mask: jnp.ndarray  # [n_sc, n_ag]
+    rrl_agent_length: jnp.ndarray  # [n_sc, n_ag, 1]
+    rrl_agent_width: jnp.ndarray  # [n_sc, n_ag, 1]
+    tl_valid: jnp.ndarray  # [n_sc, n_tl]
+    tl_pose: jnp.ndarray  # [n_sc, n_tl, 3]
+    ag_goal: Optional[jnp.ndarray]  # [n_sc, n_ag, 4] or None
+    goal_thresh_pos: jnp.ndarray  # [n_sc, n_ag]
+    # dest (None when navi_mode != dest)
+    dest_invalid: Optional[jnp.ndarray]  # [n_sc, n_ag, n_node]
+    dest_type: Optional[jnp.ndarray]  # [n_sc, n_ag, n_mp_type]
+    dest_pos: Optional[jnp.ndarray]  # [n_sc, n_ag, n_node, 2]
+    dest_dir: Optional[jnp.ndarray]  # [n_sc, n_ag, n_node, 2]
+    dest_thresh_pos: Optional[jnp.ndarray]  # [n_sc, n_ag]
+
+
+@struct.dataclass
+class RuleCheckerState:
+    outside_map: jnp.ndarray  # [n_sc, n_ag] accumulated flags
+    collided: jnp.ndarray
+    collided_wosac: jnp.ndarray
+    run_road_edge: jnp.ndarray
+    run_red_light: jnp.ndarray
+    passive: jnp.ndarray
+    passive_counter: jnp.ndarray  # float32
+    goal_reached: jnp.ndarray
+    dest_reached: jnp.ndarray
+
+
+GOAL_THRESH_ROT = float(np.deg2rad(15))
+DEST_THRESH_ROT = float(np.deg2rad(30))
+
+
+def init_rule_checker(
+    mp_boundary, mp_valid, mp_type, mp_pos, mp_dir, ag_type, ag_size,
+    tl_valid, tl_pose, ag_goal=None, ag_dest=None, collision_size_scale: float = 1.1,
+) -> Tuple[RuleCheckerStatics, RuleCheckerState]:
+    """Build static data + zeroed accumulators (traffic_rule_checker.py:10-104)."""
+    n_sc, n_ag = ag_type.shape[:2]
+    mp_pos, mp_dir = mp_pos[..., :2], mp_dir[..., :2]
+    zeros = jnp.zeros((n_sc, n_ag), bool)
+
+    ego = jnp.eye(n_ag, dtype=bool)[None]
+    ped = ag_type[:, :, 1]
+    collision_invalid = ego | (ped[:, None, :] & ped[:, :, None])
+
+    road_edge_valid = mp_valid & jnp.any(mp_type[:, :, jnp.array([4, 5, 7])], axis=-1, keepdims=True)
+    road_edge = jnp.stack([mp_pos, mp_pos + mp_dir], axis=-2)
+    n_seg = mp_valid.shape[1] * mp_valid.shape[2]
+    road_edge = road_edge.reshape(n_sc, n_seg, 2, 2)
+    road_edge_valid = road_edge_valid.reshape(n_sc, n_seg)
+
+    lane_center_valid = (mp_valid & jnp.any(mp_type[:, :, :3], axis=-1, keepdims=True)).reshape(n_sc, n_seg)
+    lane_center = mp_pos.reshape(n_sc, n_seg, 2)
+
+    dest_kwargs = dict(dest_invalid=None, dest_type=None, dest_pos=None, dest_dir=None, dest_thresh_pos=None)
+    if ag_dest is not None:
+        idx = jnp.clip(ag_dest, 0, mp_valid.shape[1] - 1).astype(jnp.int32)
+        take = lambda arr: jnp.take_along_axis(
+            arr, idx.reshape(n_sc, n_ag, *([1] * (arr.ndim - 2))), axis=1
+        )
+        dest_type = jnp.take_along_axis(mp_type, idx[..., None], axis=1)
+        dest_dir = jnp.take_along_axis(mp_dir, idx[:, :, None, None], axis=1)
+        dest_dir = dest_dir / (jnp.linalg.norm(dest_dir, axis=-1, keepdims=True) + 1e-12)
+        thresh = jnp.ones((n_sc, n_ag)) * 50.0 * (1.0 - dest_type[:, :, 4] * 0.8)
+        dest_kwargs = dict(
+            dest_invalid=~jnp.take_along_axis(mp_valid, idx[:, :, None], axis=1),
+            dest_type=dest_type,
+            dest_pos=jnp.take_along_axis(mp_pos, idx[:, :, None, None], axis=1),
+            dest_dir=dest_dir,
+            dest_thresh_pos=thresh,
+        )
+        del take
+
+    statics = RuleCheckerStatics(
+        mp_boundary=mp_boundary,
+        ag_size=ag_size[..., :2] * collision_size_scale,
+        collision_invalid_mask=collision_invalid,
+        road_edge=road_edge,
+        road_edge_valid=road_edge_valid,
+        lane_center=lane_center,
+        lane_center_valid=lane_center_valid,
+        veh_mask=ag_type[:, :, 0],
+        rrl_agent_length=ag_size[:, :, 0:1] * 0.5 * 0.6,
+        rrl_agent_width=ag_size[:, :, 1:2] * 0.5 * 1.8,
+        tl_valid=tl_valid,
+        tl_pose=tl_pose,
+        ag_goal=ag_goal,
+        goal_thresh_pos=ag_size[:, :, 0] * 8.0,
+        **dest_kwargs,
+    )
+    state = RuleCheckerState(
+        outside_map=zeros, collided=zeros, collided_wosac=zeros, run_road_edge=zeros,
+        run_red_light=zeros, passive=zeros, passive_counter=jnp.zeros((n_sc, n_ag), jnp.float32),
+        goal_reached=zeros, dest_reached=zeros,
+    )
+    return statics, state
+
+
+def _ccw(a, b, c):
+    return (c[..., 1] - a[..., 1]) * (b[..., 0] - a[..., 0]) > (b[..., 1] - a[..., 1]) * (c[..., 0] - a[..., 0])
+
+
+def _check_collided(valid, bbox, collision_invalid_mask):
+    """SAT-style bbox overlap (traffic_rule_checker.py:118-149)."""
+    bbox_next = jnp.roll(bbox, -1, axis=2)
+    a = bbox_next[..., 1:2] - bbox[..., 1:2]
+    b = bbox[..., 0:1] - bbox_next[..., 0:1]
+    c = bbox_next[..., 0:1] * bbox[..., 1:2] - bbox_next[..., 1:2] * bbox[..., 0:1]
+    line = jnp.concatenate([a, b, c], axis=-1)  # [n_sc, n_ag, 4, 3]
+    point = jnp.concatenate([bbox, jnp.ones_like(bbox[..., 0:1])], axis=-1)  # [n_sc, n_ag, 4, 3]
+    # [n_sc, n_ag_i, n_ag_j, 4(line of i), 4(point of j)]
+    is_outside = jnp.einsum("silc,sjpc->sijlp", line, point) > 0
+    no_collision = jnp.any(jnp.all(is_outside, axis=-1), axis=-1)
+    no_collision = no_collision | jnp.swapaxes(no_collision, 1, 2)
+    invalid = ~(valid[:, :, None] & valid[:, None, :])
+    no_collision = no_collision | collision_invalid_mask | invalid
+    return ~jnp.all(no_collision, axis=-1)
+
+
+def _check_run_road_edge(valid, bbox, veh_mask, road_edge, road_edge_valid):
+    bbox_next = jnp.roll(bbox, -1, axis=2)
+    A = bbox[:, :, None, :, :]  # [n_sc, n_ag, 1, 4, 2]
+    B = bbox_next[:, :, None, :, :]
+    C = road_edge[:, None, :, None, 0, :]  # [n_sc, 1, n_seg, 1, 2]
+    D = road_edge[:, None, :, None, 1, :]
+    hit = (_ccw(A, C, D) != _ccw(B, C, D)) & (_ccw(A, B, C) != _ccw(A, B, D))  # [n_sc, n_ag, n_seg, 4]
+    hit = jnp.any(hit, axis=-1) & road_edge_valid[:, None, :]
+    return jnp.any(hit, axis=-1) & valid & veh_mask
+
+
+def _check_run_red_light(valid, pose, motion, s: RuleCheckerStatics, tl_state):
+    c, si = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])
+    hf = jnp.stack([c, si], axis=-1)[:, :, None]  # [n_sc, n_ag, 1, 2]
+    hr = jnp.stack([si, -c], axis=-1)[:, :, None]
+    xy0 = pose[..., :2][:, :, None]
+    xy1 = xy0 + 0.1 * motion[..., 0:1][:, :, None] * hf
+    tl_xy = s.tl_pose[:, None, :, :2]
+    inside = lambda xy: (
+        (jnp.abs(jnp.sum((tl_xy - xy) * hf, axis=-1)) < s.rrl_agent_length)
+        & (jnp.abs(jnp.sum((tl_xy - xy) * hr, axis=-1)) < s.rrl_agent_width)
+    )
+    m_ag = (valid & s.veh_mask)[:, :, None]
+    m_tl = (s.tl_valid & tl_state[:, :, 1].astype(bool))[:, None, :]
+    return jnp.any(inside(xy0) & ~inside(xy1) & m_ag & m_tl, axis=-1)
+
+
+def _check_passive(valid, pose, motion, tl_state, s: RuleCheckerStatics, passive_counter):
+    close = jnp.linalg.norm(pose[:, :, None, :2] - s.lane_center[:, None], axis=-1) < 2.0
+    close_to_lane = jnp.any(close & s.lane_center_valid[:, None], axis=-1)
+    low_speed = motion[..., 0] < 5.0
+    hf = jnp.stack([jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])], axis=-1)[:, :, None]
+
+    m_tl = (s.tl_valid & jnp.any(tl_state[:, :, jnp.array([0, 1, 2, 4])].astype(bool), axis=-1))[:, None]
+    tl_vec = s.tl_pose[:, None, :, :2] - pose[:, :, None, :2]
+    tl_norm = jnp.linalg.norm(tl_vec, axis=-1)
+    tl_close = tl_norm < 10.0
+    tl_ahead = jnp.sum(hf * tl_vec, axis=-1) / (tl_norm + 1e-12) > 0.95
+    red_ahead = jnp.any(tl_close & tl_ahead & m_tl, axis=-1)
+
+    ag_vec = pose[:, None, :, :2] - pose[:, :, None, :2]
+    ag_norm = jnp.linalg.norm(ag_vec, axis=-1)
+    ag_close = ag_norm < 10.0
+    ag_ahead = jnp.sum(hf * ag_vec, axis=-1) / (ag_norm + 1e-12) > 0.95
+    n_ag = valid.shape[1]
+    ego = jnp.eye(n_ag, dtype=bool)[None]
+    other_ahead = jnp.any(ag_close & ag_ahead & valid[:, None, :] & valid[:, :, None] & ~ego, axis=-1)
+
+    passive_now = valid & s.veh_mask & close_to_lane & low_speed & ~red_ahead & ~other_ahead
+    counter = (passive_counter + passive_now) * passive_now
+    return counter > 20, counter
+
+
+def _check_goal_reached(valid, pose, goal, goal_reached, thresh_pos):
+    pos_ok = jnp.linalg.norm(pose[..., :2] - goal[..., :2], axis=-1) < thresh_pos
+    rot_ok = jnp.abs(cast_rad(pose[..., 2] - goal[..., 2])) < GOAL_THRESH_ROT
+    return pos_ok & rot_ok & valid & ~goal_reached
+
+
+def _check_dest_reached(valid, pose, s: RuleCheckerStatics, dest_reached):
+    dist = jnp.linalg.norm(pose[:, :, None, :2] - s.dest_pos, axis=-1)
+    dist = jnp.where(s.dest_invalid, jnp.inf, dist)
+    pos_ok = jnp.any(dist < s.dest_thresh_pos[..., None], axis=-1)
+    hf = jnp.stack([jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])], axis=-1)
+    rot = jnp.where(s.dest_invalid, 0.0, jnp.sum(hf[:, :, None] * s.dest_dir, axis=-1))
+    rot_ok = jnp.any(rot > np.cos(DEST_THRESH_ROT), axis=-1)
+    m_lane = jnp.any(s.dest_type[:, :, :4], axis=-1)
+    m_edge = s.dest_type[:, :, 4]
+    return ~dest_reached & valid & ((m_lane & pos_ok & rot_ok) | (m_edge & pos_ok))
+
+
+def check_rules(
+    statics: RuleCheckerStatics,
+    state: RuleCheckerState,
+    valid, pose, motion, tl_state,
+    check_level: int,
+) -> Tuple[RuleCheckerState, Dict[str, jnp.ndarray]]:
+    """One step of rule checking (traffic_rule_checker.py:342-451).
+
+    All math under stop_gradient at call site. Returns (new_state, violations)
+    with the reference's *_this_step / accumulated key pairs.
+    """
+    x, y = pose[..., 0], pose[..., 1]
+    b = statics.mp_boundary
+    outside_now = ((x > b[:, 1:2]) | (x < b[:, 0:1]) | (y > b[:, 3:4]) | (y < b[:, 2:3])) & valid
+    outside = state.outside_map | outside_now
+
+    if check_level >= 1:
+        bbox = get_ag_bbox(pose, statics.ag_size)
+        collided_now = _check_collided(valid, bbox, statics.collision_invalid_mask)
+        wosac_now = check_collided_wosac(pose, statics.ag_size, valid)
+        edge_now = _check_run_road_edge(valid, bbox, statics.veh_mask, statics.road_edge, statics.road_edge_valid)
+        red_now = _check_run_red_light(valid, pose, motion, statics, tl_state)
+        passive_now, counter = _check_passive(valid, pose, motion, tl_state, statics, state.passive_counter)
+    else:
+        collided_now, wosac_now = state.collided, state.collided_wosac
+        edge_now, red_now, passive_now = state.run_road_edge, state.run_red_light, state.passive
+        counter = state.passive_counter
+
+    if statics.ag_goal is not None:
+        goal_now = _check_goal_reached(valid, pose, statics.ag_goal, state.goal_reached, statics.goal_thresh_pos)
+    else:
+        goal_now = jnp.zeros_like(state.goal_reached)
+    if statics.dest_pos is not None:
+        dest_now = _check_dest_reached(valid, pose, statics, state.dest_reached)
+    else:
+        dest_now = jnp.zeros_like(state.dest_reached)
+
+    new_state = RuleCheckerState(
+        outside_map=outside,
+        collided=state.collided | collided_now,
+        collided_wosac=state.collided_wosac | wosac_now,
+        run_road_edge=state.run_road_edge | edge_now,
+        run_red_light=state.run_red_light | red_now,
+        passive=state.passive | passive_now,
+        passive_counter=counter,
+        goal_reached=state.goal_reached | goal_now,
+        dest_reached=state.dest_reached | dest_now,
+    )
+    violations = {
+        "outside_map": new_state.outside_map,
+        "outside_map_this_step": outside_now,
+        "collided": new_state.collided,
+        "collided_this_step": collided_now,
+        "collided_wosac": new_state.collided_wosac,
+        "collided_wosac_this_step": wosac_now,
+        "run_road_edge": new_state.run_road_edge,
+        "run_road_edge_this_step": edge_now,
+        "run_red_light": new_state.run_red_light,
+        "run_red_light_this_step": red_now,
+        "passive": new_state.passive,
+        "passive_this_step": passive_now,
+        "goal_reached": new_state.goal_reached,
+        "goal_reached_this_step": goal_now,
+        "dest_reached": new_state.dest_reached,
+        "dest_reached_this_step": dest_now,
+    }
+    return new_state, violations

@@ -1,0 +1,95 @@
+"""WOSAC-exact collision check (corner-rounded boxes + Minkowski sum +
+signed point-to-convex-polygon distance).
+
+Parity target: /root/reference/src/utils/wosac_collision.py, itself a port of
+Waymo's differentiable-geometry collision metric.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+EXTREMELY_LARGE_DISTANCE = 1e10
+COLLISION_DISTANCE_THRESHOLD = 0.0
+CORNER_ROUNDING_FACTOR = 0.7
+
+
+def get_ag_bbox(pose: jnp.ndarray, ag_size: jnp.ndarray) -> jnp.ndarray:
+    """Counter-clockwise box corners.
+
+    pose: [n_sc, n_ag, 3]; ag_size: [n_sc, n_ag, 2] (length, width).
+    Returns [n_sc, n_ag, 4, 2].
+    """
+    c, s = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])
+    heading_f = jnp.stack([c, s], axis=-1)
+    heading_r = jnp.stack([s, -c], axis=-1)
+    off_f = 0.5 * ag_size[..., 0:1] * heading_f
+    off_r = 0.5 * ag_size[..., 1:2] * heading_r
+    corners = jnp.stack([off_f - off_r, -off_f - off_r, -off_f + off_r, off_f + off_r], axis=2)
+    return pose[:, :, None, :2] + corners
+
+
+def _edge_info(poly: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    shifted = jnp.roll(poly, -1, axis=2)
+    edge = shifted - poly
+    length = jnp.linalg.norm(edge, axis=-1)
+    tangent = edge / (length[..., None] + 1e-12)
+    normal = jnp.stack([-tangent[..., 1], tangent[..., 0]], axis=-1)
+    return tangent, normal, length
+
+
+def signed_distance_point_to_polygon(query: jnp.ndarray, poly: jnp.ndarray) -> jnp.ndarray:
+    """query: [n_sc, n_poly, 2]; poly (ccw): [n_sc, n_poly, n_pt, 2] -> [n_sc, n_poly]."""
+    tangent, normal, length = _edge_info(poly)
+    v2q = query[:, :, None, :] - poly
+    vert_dist = jnp.linalg.norm(v2q, axis=-1)
+    perp = jnp.sum(-normal * v2q, axis=-1)
+    is_inside = jnp.all(perp <= 0, axis=-1)
+    proj = jnp.sum(tangent * v2q, axis=-1) / (length + 1e-12)
+    on_edge = (proj >= 0.0) & (proj <= 1.0)
+    edge_dist = jnp.where(on_edge, jnp.abs(perp), EXTREMELY_LARGE_DISTANCE)
+    min_dist = jnp.min(jnp.concatenate([edge_dist, vert_dist], axis=-1), axis=-1)
+    return jnp.where(is_inside, -min_dist, min_dist)
+
+
+def _downmost_edge(box: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """box: [n_sc, n_box, 4, 2] -> (downmost vertex idx [n_sc, n_box, 1], its edge dir [n_sc, n_box, 1, 2])."""
+    idx = jnp.argmin(box[..., 1], axis=-1)[..., None]
+    start = jnp.take_along_axis(box, idx[..., None], axis=2)
+    end = jnp.take_along_axis(box, ((idx + 1) % 4)[..., None], axis=2)
+    edge = end - start
+    return idx, edge / (jnp.linalg.norm(edge, axis=-1, keepdims=True) + 1e-12)
+
+
+def minkowski_sum_boxes(box1: jnp.ndarray, box2: jnp.ndarray) -> jnp.ndarray:
+    """Minkowski sum of two ccw boxes -> ccw octagon [n_sc, n_box, 8, 2]."""
+    order1 = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3])
+    order2 = jnp.asarray([0, 1, 1, 2, 2, 3, 3, 0])
+    idx1, dir1 = _downmost_edge(box1)
+    idx2, dir2 = _downmost_edge(box2)
+    cond = (dir1[..., 0] * dir2[..., 1] - dir1[..., 1] * dir2[..., 0]) >= 0.0  # [n_sc, n_box, 1]
+    o1 = jnp.where(cond, order2[None, None], order1[None, None])
+    o2 = jnp.where(cond, order1[None, None], order2[None, None])
+    p1 = jnp.take_along_axis(box1, ((o1 + idx1) % 4)[..., None], axis=2)
+    p2 = jnp.take_along_axis(box2, ((o2 + idx2) % 4)[..., None], axis=2)
+    return p1 + p2
+
+
+def check_collided_wosac(pose: jnp.ndarray, ag_size: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact WOSAC collision flag per agent (wosac_collision.py:196-239).
+
+    pose [n_sc, n_ag, 3]; ag_size [n_sc, n_ag, >=2]; valid [n_sc, n_ag].
+    """
+    n_sc, n_ag, _ = pose.shape
+    shrink = jnp.minimum(ag_size[..., 0], ag_size[..., 1]) * CORNER_ROUNDING_FACTOR / 2.0
+    corners = get_ag_bbox(pose, ag_size[..., :2] - 2.0 * shrink[..., None])
+    eval_c = jnp.broadcast_to(corners[:, :, None], (n_sc, n_ag, n_ag, 4, 2)).reshape(n_sc, n_ag * n_ag, 4, 2)
+    all_c = jnp.broadcast_to(corners[:, None], (n_sc, n_ag, n_ag, 4, 2)).reshape(n_sc, n_ag * n_ag, 4, 2)
+    mink = minkowski_sum_boxes(eval_c, -1.0 * all_c)
+    sd = signed_distance_point_to_polygon(jnp.zeros_like(mink[:, :, 0]), mink).reshape(n_sc, n_ag, n_ag)
+    sd = sd - shrink[:, None, :] - shrink[:, :, None]
+    invalid = ~(valid[:, :, None] & valid[:, None, :]) | jnp.eye(n_ag, dtype=bool)[None]
+    sd = jnp.where(invalid, EXTREMELY_LARGE_DISTANCE, sd)
+    return jnp.min(sd, axis=2) < COLLISION_DISTANCE_THRESHOLD
