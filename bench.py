@@ -1,0 +1,74 @@
+"""Benchmark: agent-steps/sec/chip in the 80-step closed-loop WOSAC rollout.
+
+Workload = BASELINE config #3: the flagship 10M-param model rolling out
+n_joint_future parallel futures per scenario for 80 steps at 10 Hz with 64
+agents — the reference's WOSAC validation inner loop
+(waymo_motion.py:439-524, 32 futures).
+
+Baseline: the reference validates 44,097 WOMD scenarios in ~2.5 days on
+4x RTX 4090 (README.md:45) => ~0.051 scenarios/s/GPU, i.e.
+0.051 * 80 steps * 64 agents * 32 futures ~= 8.4e3 agent-steps/s/chip.
+That number includes metric computation, so it is a favorable-to-the-reference
+lower bound on its rollout speed; vs_baseline reported here uses it.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_AGENT_STEPS_PER_SEC_PER_CHIP = 8.4e3
+
+
+def main():
+    from trafficbotsv15_tpu.config import leaderboard_config
+    from trafficbotsv15_tpu.data.synthetic import make_batch
+    from trafficbotsv15_tpu.train.evaluation import joint_future_pred
+    from trafficbotsv15_tpu.train.pipeline import build_model, init_params
+
+    n_sc = int(os.environ.get("BENCH_N_SC", "2"))
+    n_future = int(os.environ.get("BENCH_N_FUTURE", "32"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    cfg = leaderboard_config()
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=n_sc, seed=0).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
+
+    def run(params, batch, key):
+        _, buf = joint_future_pred(cfg, model, params, batch, key,
+                                   n_joint_future=n_future, check_level=1)
+        # reduce outputs so only scalars come back to host
+        return jnp.sum(buf.pred_pose), jnp.sum(buf.violation["collided_wosac"])
+
+    run_jit = jax.jit(run)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    jax.block_until_ready(run_jit(params, batch, key))
+
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = run_jit(params, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    n_steps = cfg.time_step_end - cfg.time_step_current  # 80 future steps
+    agent_steps = n_sc * n_future * cfg.data.n_ag * n_steps
+    n_chips = len(jax.devices())
+    value = agent_steps / dt / n_chips
+
+    print(json.dumps({
+        "metric": "wosac_rollout_agent_steps_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "agent-steps/s/chip",
+        "vs_baseline": round(value / BASELINE_AGENT_STEPS_PER_SEC_PER_CHIP, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

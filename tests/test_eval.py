@@ -1,0 +1,99 @@
+"""Tests for evaluation pipelines: reactive replay, joint-future prediction
+(the WOSAC x K replica workload), post-processing and logging metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trafficbotsv15_tpu.config import tiny_config
+from trafficbotsv15_tpu.data.synthetic import make_batch
+from trafficbotsv15_tpu.train.pipeline import build_model, init_params
+from trafficbotsv15_tpu.train.evaluation import reactive_replay, joint_future_pred
+from trafficbotsv15_tpu.eval.metrics import (
+    error_metric_sums, compute_error_metrics, traffic_rule_sums, compute_traffic_rule_metrics,
+)
+from trafficbotsv15_tpu.eval.womd_post_processing import womd_post_process, traj_topk, mpa_nms
+from trafficbotsv15_tpu.eval.wosac_post_processing import filter_futures, to_global_frame
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=2, seed=3).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
+    return cfg, batch, model, params
+
+
+def test_reactive_replay_and_metrics(setup):
+    cfg, batch, model, params = setup
+    pp, buf, navi_pred, post, prior = reactive_replay(cfg, model, params, batch, jax.random.PRNGKey(1))
+    fb = buf.flatten_joint_future(1)
+    sums = error_metric_sums(fb, pp.gt_valid, pp.gt_pose, pp.gt_motion)
+    m = compute_error_metrics(sums, "reactive_replay")
+    assert np.isfinite(m["reactive_replay/err/pos_meter"])
+    rsums = traffic_rule_sums(fb, pp.ag_type)
+    rm = compute_traffic_rule_metrics(rsums, "reactive_replay")
+    assert 0.0 <= rm["reactive_replay/traffic_rule/collided"] <= 1.0
+
+
+def test_joint_future_pred(setup):
+    cfg, batch, model, params = setup
+    K = 4
+    pp, buf = joint_future_pred(cfg, model, params, batch, jax.random.PRNGKey(2), n_joint_future=K)
+    n_sc, n_ag = pp.ag_valid.shape[:2]
+    assert buf.pred_pose.shape == (n_sc, K, n_ag, cfg.time_step_end, 3)
+    assert buf.log_prob.shape == (n_sc, K, n_ag)
+    assert np.isfinite(np.asarray(buf.pred_pose)).all()
+    # futures differ (different latent/navi samples)
+    p = np.asarray(buf.pred_pose)
+    valid = np.asarray(buf.pred_valid)
+    if valid[:, 0].sum() > 0:
+        diffs = np.abs(p[:, 0] - p[:, 1])[valid[:, 0] & valid[:, 1]]
+        assert diffs.sum() > 0
+
+
+def test_womd_post_processing(setup):
+    cfg, batch, model, params = setup
+    rng = np.random.default_rng(0)
+    n_sc, K, n_ag, n_step = 2, 8, 4, 20
+    trajs = jnp.asarray(rng.normal(size=(n_sc, K, n_ag, n_step, 3)).astype(np.float32)) * 10
+    scores = jnp.asarray(rng.normal(size=(n_sc, K, n_ag)).astype(np.float32))
+    ag_type = jnp.asarray(np.eye(3, dtype=bool)[rng.integers(0, 3, (n_sc, n_ag))])
+    out = womd_post_process(cfg.womd_post, ag_type, trajs, scores, track_future_samples=n_step)
+    k_pred = cfg.womd_post.k_pred
+    n_2hz = len(range(4, n_step, 5))
+    assert out["trajs"].shape == (n_sc, n_ag, k_pred, n_2hz, 3)
+    assert out["scores"].shape == (n_sc, n_ag, k_pred)
+    s = np.asarray(out["scores"])
+    np.testing.assert_allclose(s.sum(-1), 1.0, atol=1e-5)
+    assert (s >= 0).all()
+
+    # topk picks the highest scores
+    t0 = jax.nn.softmax(jnp.swapaxes(scores, 1, 2), -1)
+    tk, sk = traj_topk(jnp.swapaxes(trajs, 1, 2), t0, k_pred)
+    expected = np.sort(np.asarray(t0), -1)[..., -k_pred:]
+    np.testing.assert_allclose(np.sort(np.asarray(sk) * np.asarray(t0).sum(), -1).sum(), np.asarray(sk).sum() * np.asarray(t0).sum(), rtol=1e-4)
+
+    # mpa_nms: two identical trajectories -> lower-score one suppressed
+    trajs2 = jnp.zeros((1, 1, 2, 5, 3))
+    scores2 = jnp.asarray([[[0.7, 0.3]]])
+    s2 = np.asarray(mpa_nms(trajs2, scores2, (2.0, 2.0, 2.0), True, jnp.asarray([[[True, False, False]]])))
+    assert s2[0, 0, 1] < 0.01 and s2[0, 0, 0] > 0.98
+
+
+def test_wosac_filter_and_global(setup):
+    cfg, batch, model, params = setup
+    K = 4
+    pp, buf = joint_future_pred(cfg, model, params, batch, jax.random.PRNGKey(4), n_joint_future=K)
+    trajs = filter_futures(cfg.wosac_post, buf, pp.ag_role, cfg.time_step_current)
+    assert trajs.shape[1] == K  # K <= 32: passthrough
+    center = jnp.asarray([[10.0, -5.0], [0.0, 3.0]])
+    yaw = jnp.asarray([0.5, -1.0])
+    g = to_global_frame(trajs, center, yaw)
+    assert g.shape == trajs.shape
+    # round trip: transforming a known point
+    local = np.asarray(trajs[0, 0, 0, 0, :2])
+    expect = local @ np.array([[np.cos(0.5), np.sin(0.5)], [-np.sin(0.5), np.cos(0.5)]]) + np.asarray(center[0])
+    np.testing.assert_allclose(np.asarray(g[0, 0, 0, 0, :2]), expect, atol=1e-4)

@@ -41,7 +41,10 @@ def make_batch(cfg: DataCfg, n_sc: int = 2, seed: int = 0, test_mode: bool = Fal
                 mp_dir[s, p, i, :2] = d
                 pt = pt + d
                 heading += curv
-            mp_type[s, p, rng.integers(0, cfg.n_mp_type)] = True
+            # first polylines cycle through all types so every dest-compatible
+            # lane type exists; rest random
+            t = p % cfg.n_mp_type if p < 2 * cfg.n_mp_type else rng.integers(0, cfg.n_mp_type)
+            mp_type[s, p, t] = True
 
     # --- agents: smooth kinematic tracks
     ag_valid = np.zeros((n_sc, n_ag, n_step), bool)
@@ -87,7 +90,11 @@ def make_batch(cfg: DataCfg, n_sc: int = 2, seed: int = 0, test_mode: bool = Fal
                 ag_role[s, a, rng.integers(1, 3)] = True
             last = t1 - 1
             ag_goal[s, a] = [ag_pos[s, a, last, 0], ag_pos[s, a, last, 1], ag_yaw[s, a, last, 0], ag_spd[s, a, last, 0]]
-            ag_dest[s, a] = rng.integers(0, n_mp_valid)
+            # dest must be an agent-type-compatible lane (navigation.py:263-273):
+            # veh -> {0,1,2}, ped -> {4}, cyc -> {3,4}
+            compat = [[0, 1, 2], [4], [3, 4]][typ]
+            cand = [p for p in range(n_mp_valid) if mp_type[s, p, :].argmax() in compat]
+            ag_dest[s, a] = rng.choice(cand) if cand else 0
 
     # --- traffic lights (lane-associated)
     tl_valid = np.zeros((n_sc, n_tl, n_step), bool)

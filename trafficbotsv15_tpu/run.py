@@ -1,0 +1,172 @@
+"""CLI entry point: fit / validate / test.
+
+Parity target: /root/reference/src/run.py (Hydra + PyTorch Lightning Trainer).
+Orchestration is a plain python loop around the jitted GSPMD train/eval steps:
+  python -m trafficbotsv15_tpu.run action=fit data=synthetic max_steps=100
+Overrides use key=value (dots for nesting, e.g. optimizer.lr=1e-4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trafficbotsv15_tpu.config import ExperimentCfg, config_from_dict, config_to_dict, leaderboard_config, tiny_config
+from trafficbotsv15_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from trafficbotsv15_tpu.train.checkpoint import CheckpointManager
+from trafficbotsv15_tpu.train.evaluation import joint_future_pred, reactive_replay
+from trafficbotsv15_tpu.train.losses import training_loss
+from trafficbotsv15_tpu.train.optimizer import make_optimizer
+from trafficbotsv15_tpu.train.pipeline import build_model, init_params, make_train_step
+from trafficbotsv15_tpu.utils.logging import MetricsLogger
+
+
+def parse_overrides(argv) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for arg in argv:
+        if "=" not in arg:
+            continue
+        k, v = arg.split("=", 1)
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        cur = out
+        parts = k.split(".")
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return out
+
+
+def apply_overrides(cfg: ExperimentCfg, overrides: Dict[str, Any]) -> ExperimentCfg:
+    d = config_to_dict(cfg)
+
+    def deep(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                deep(dst[k], v)
+            else:
+                dst[k] = v
+
+    deep(d, overrides)
+    return config_from_dict(d)
+
+
+def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_synthetic: int = 64):
+    if data == "synthetic":
+        from trafficbotsv15_tpu.data.synthetic import make_batch
+
+        class SynthLoader:
+            def __init__(self, n_batches, n_sc, seed0):
+                self.n_batches, self.n_sc, self.seed0 = n_batches, n_sc, seed0
+
+            def __len__(self):
+                return self.n_batches
+
+            def __iter__(self):
+                for i in range(self.n_batches):
+                    yield make_batch(cfg.data, n_sc=self.n_sc, seed=self.seed0 + i)
+
+        n_dev = len(jax.devices())
+        bs_train = max(cfg.batch_size_train, 1) * n_dev
+        bs_test = max(cfg.batch_size_test, 1) * n_dev
+        return (
+            SynthLoader(n_synthetic // bs_train, bs_train, 0),
+            SynthLoader(max(n_synthetic // bs_test // 4, 1), bs_test, 10_000),
+        )
+    from trafficbotsv15_tpu.data.h5_dataset import DataLoader, H5Dataset, tensor_size_train, tensor_size_val
+
+    n_dev = len(jax.devices())
+    train_ds = H5Dataset(f"{data_dir}/training.h5", tensor_size_train(cfg.data))
+    val_ds = H5Dataset(f"{data_dir}/validation.h5", tensor_size_val(cfg.data), with_attrs=True)
+    return (
+        DataLoader(train_ds, cfg.batch_size_train * n_dev, shuffle=True, seed=cfg.seed),
+        DataLoader(val_ds, cfg.batch_size_test * n_dev, shuffle=False),
+    )
+
+
+def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
+        max_steps: Optional[int] = None, log_every: int = 50):
+    mesh = make_mesh()
+    b_sh, repl = batch_sharding(mesh), replicated(mesh)
+    logger = MetricsLogger()
+
+    model = build_model(cfg)
+    first = next(iter(train_loader))
+    first = {k: jnp.asarray(v) for k, v in first.items() if not isinstance(v, list)}
+    params = init_params(cfg, model, first, jax.random.PRNGKey(cfg.seed))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"model parameters: {n_params/1e6:.2f}M, devices: {len(jax.devices())}")
+
+    steps_per_epoch = max(int(len(train_loader) * cfg.limit_train_batches), 1)
+    opt = make_optimizer(cfg.optimizer, steps_per_epoch=steps_per_epoch)
+    opt_state = opt.init(params)
+    put_r = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, t)
+    params, opt_state = put_r(params), put_r(opt_state)
+
+    train_step = jax.jit(
+        make_train_step(cfg, model, opt), static_argnums=(4,),
+        in_shardings=(repl, repl, b_sh, repl), out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+    ckpt = CheckpointManager(ckpt_dir)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    step = 0
+    t_start = time.time()
+    for epoch in range(cfg.max_epochs):
+        for batch in train_loader:
+            if step >= steps_per_epoch * (epoch + 1):
+                break
+            batch = {k: jax.device_put(np.asarray(v), b_sh) for k, v in batch.items()
+                     if not isinstance(v, list)}
+            key, k = jax.random.split(key)
+            params, opt_state, metrics = train_step(params, opt_state, batch, k, epoch)
+            step += 1
+            if step % log_every == 0 or step == 1:
+                m = {kk: float(vv) for kk, vv in metrics.items()}
+                m["steps_per_sec"] = step / (time.time() - t_start)
+                logger.log(step, m)
+            if max_steps and step >= max_steps:
+                break
+        ckpt.save_last({"params": params, "opt_state": opt_state}, cfg,
+                       {"step": step, "epoch": epoch})
+        if max_steps and step >= max_steps:
+            break
+    return params, logger
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    overrides = parse_overrides(argv)
+    action = overrides.pop("action", "fit")
+    data = overrides.pop("data", "synthetic")
+    data_dir = overrides.pop("data_dir", None)
+    preset = overrides.pop("preset", "leaderboard")
+    max_steps = overrides.pop("max_steps", None)
+    ckpt_dir = overrides.pop("ckpt_dir", "ckpt")
+
+    cfg = tiny_config() if preset == "tiny" else leaderboard_config()
+    cfg = apply_overrides(cfg, overrides)
+
+    train_loader, val_loader = make_dataloaders(cfg, data, data_dir)
+    if action == "fit":
+        fit(cfg, train_loader, val_loader, ckpt_dir=ckpt_dir, max_steps=max_steps)
+    elif action == "validate":
+        from trafficbotsv15_tpu.eval.runner import validate
+
+        validate(cfg, val_loader, ckpt_dir=ckpt_dir)
+    else:
+        raise SystemExit(f"unknown action {action}")
+
+
+if __name__ == "__main__":
+    main()
