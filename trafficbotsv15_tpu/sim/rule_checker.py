@@ -61,9 +61,27 @@ GOAL_THRESH_ROT = float(np.deg2rad(15))
 DEST_THRESH_ROT = float(np.deg2rad(30))
 
 
+def _compact_segments(valid: jnp.ndarray, budget: int, *arrays):
+    """Gather up to `budget` valid segments per scene (TPU optimization: the
+    road-edge / lane-center node sets are ~20% of n_mp*n_node; compacting them
+    once per rollout shrinks the per-step [n_ag x n_seg] tests ~5x with
+    identical semantics — invalid segments never participate)."""
+    n_seg = valid.shape[1]
+    if budget >= n_seg:
+        return (valid,) + arrays
+    order = jnp.argsort(~valid, axis=1, stable=True)[:, :budget]  # valid entries first
+    new_valid = jnp.take_along_axis(valid, order, axis=1)
+    outs = []
+    for a in arrays:
+        idx = order.reshape(order.shape + (1,) * (a.ndim - 2))
+        outs.append(jnp.take_along_axis(a, idx, axis=1))
+    return (new_valid,) + tuple(outs)
+
+
 def init_rule_checker(
     mp_boundary, mp_valid, mp_type, mp_pos, mp_dir, ag_type, ag_size,
     tl_valid, tl_pose, ag_goal=None, ag_dest=None, collision_size_scale: float = 1.1,
+    segment_budget: int = 6144,
 ) -> Tuple[RuleCheckerStatics, RuleCheckerState]:
     """Build static data + zeroed accumulators (traffic_rule_checker.py:10-104)."""
     n_sc, n_ag = ag_type.shape[:2]
@@ -79,9 +97,11 @@ def init_rule_checker(
     n_seg = mp_valid.shape[1] * mp_valid.shape[2]
     road_edge = road_edge.reshape(n_sc, n_seg, 2, 2)
     road_edge_valid = road_edge_valid.reshape(n_sc, n_seg)
+    road_edge_valid, road_edge = _compact_segments(road_edge_valid, segment_budget, road_edge)
 
     lane_center_valid = (mp_valid & jnp.any(mp_type[:, :, :3], axis=-1, keepdims=True)).reshape(n_sc, n_seg)
     lane_center = mp_pos.reshape(n_sc, n_seg, 2)
+    lane_center_valid, lane_center = _compact_segments(lane_center_valid, segment_budget, lane_center)
 
     dest_kwargs = dict(dest_invalid=None, dest_type=None, dest_pos=None, dest_dir=None, dest_thresh_pos=None)
     if ag_dest is not None:
