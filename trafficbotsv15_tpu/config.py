@@ -26,6 +26,7 @@ class TransformerCfg:
     activation: str = "relu"
     out_layernorm: bool = False
     apply_q_rpe: bool = False
+    use_pallas: bool = False  # fused Pallas KNARPE kernel on TPU
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,7 +25,11 @@ _xavier = nn.initializers.xavier_uniform()
 
 
 class AttentionRPE(nn.Module):
-    """Fused multi-head attention with three K/V layouts (dense / KNN / KNN+RPE)."""
+    """Fused multi-head attention with three K/V layouts (dense / KNN / KNN+RPE).
+
+    use_pallas routes the KNN+RPE layout through the fused Pallas kernel
+    (ops.pallas_knarpe) which keeps the rpe projection in VMEM; the XLA path
+    is the reference fallback and the source of gradients either way."""
 
     d_model: int
     n_head: int
@@ -33,6 +37,7 @@ class AttentionRPE(nn.Module):
     bias: bool = True
     d_rpe: int = -1
     apply_q_rpe: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -69,22 +74,42 @@ class AttentionRPE(nn.Module):
         else:
             # per-source KNN targets [n_b, n_src, K, d]
             n_knn = tgt.shape[2]
-            k = k.reshape(n_b, n_src, n_knn, self.n_head, d_head)
-            v = v.reshape(n_b, n_src, n_knn, self.n_head, d_head)
-            rpe_q = rpe_k = rpe_v = None
-            if rpe is not None:
+            if rpe is not None and not self.apply_q_rpe and self.use_pallas:
+                from trafficbotsv15_tpu.ops.pallas_knarpe import knarpe_attention
+
                 assert self.d_rpe > 0
-                n_proj = 3 if self.apply_q_rpe else 2
-                rpe_proj = nn.Dense(
-                    n_proj * self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="rpe_proj"
-                )(rpe.astype(self.dtype))
-                parts = jnp.split(rpe_proj, n_proj, axis=-1)
-                if self.apply_q_rpe:
-                    rpe_q = parts[0].reshape(n_b, n_src, n_knn, self.n_head, d_head)
-                    parts = parts[1:]
-                rpe_k = parts[0].reshape(n_b, n_src, n_knn, self.n_head, d_head)
-                rpe_v = parts[1].reshape(n_b, n_src, n_knn, self.n_head, d_head)
-            out, _ = knn_attention(q, k, v, tgt_padding_mask, rpe_k=rpe_k, rpe_v=rpe_v, rpe_q=rpe_q)
+                w_rpe = self.param("rpe_proj_w", _xavier, (self.d_rpe, 2 * self.d_model), jnp.float32)
+                b_rpe = self.param("rpe_proj_b", nn.initializers.zeros, (2 * self.d_model,), jnp.float32)
+                inv = tgt_padding_mask
+                if inv is None:
+                    inv = jnp.zeros((n_b, n_src, n_knn), bool)
+                out = knarpe_attention(
+                    q.reshape(n_b, n_src, self.d_model), k, v, rpe.astype(self.dtype), inv,
+                    w_rpe.astype(self.dtype), b_rpe.astype(self.dtype), self.n_head,
+                )
+            else:
+                k = k.reshape(n_b, n_src, n_knn, self.n_head, d_head)
+                v = v.reshape(n_b, n_src, n_knn, self.n_head, d_head)
+                rpe_q = rpe_k = rpe_v = None
+                if rpe is not None:
+                    assert self.d_rpe > 0
+                    n_proj = 3 if self.apply_q_rpe else 2
+                    if self.apply_q_rpe:
+                        rpe_proj = nn.Dense(
+                            n_proj * self.d_model, use_bias=self.bias, kernel_init=_xavier,
+                            dtype=self.dtype, name="rpe_proj",
+                        )(rpe.astype(self.dtype))
+                        parts = jnp.split(rpe_proj, n_proj, axis=-1)
+                        rpe_q = parts[0].reshape(n_b, n_src, n_knn, self.n_head, d_head)
+                        parts = parts[1:]
+                    else:
+                        w_rpe = self.param("rpe_proj_w", _xavier, (self.d_rpe, 2 * self.d_model), jnp.float32)
+                        b_rpe = self.param("rpe_proj_b", nn.initializers.zeros, (2 * self.d_model,), jnp.float32)
+                        rpe_proj = rpe.astype(self.dtype) @ w_rpe.astype(self.dtype) + b_rpe.astype(self.dtype)
+                        parts = jnp.split(rpe_proj, 2, axis=-1)
+                    rpe_k = parts[0].reshape(n_b, n_src, n_knn, self.n_head, d_head)
+                    rpe_v = parts[1].reshape(n_b, n_src, n_knn, self.n_head, d_head)
+                out, _ = knn_attention(q, k, v, tgt_padding_mask, rpe_k=rpe_k, rpe_v=rpe_v, rpe_q=rpe_q)
 
         if self.dropout_p > 0:
             # applied to the output projection input; the reference drops attention
@@ -112,6 +137,7 @@ class TransformerLayer(nn.Module):
     mode: str = "enc_self_attn"  # enc_self_attn | enc_cross_attn | dec_cross_attn
     d_rpe: int = -1
     apply_q_rpe: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -135,6 +161,7 @@ class TransformerLayer(nn.Module):
             bias=self.bias,
             d_rpe=self.d_rpe,
             apply_q_rpe=self.apply_q_rpe,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
         drop = lambda name: nn.Dropout(self.dropout_p, deterministic=deterministic, name=name)
@@ -195,6 +222,7 @@ class TransformerBlock(nn.Module):
     activation: str = "relu"
     out_layernorm: bool = False
     apply_q_rpe: bool = False
+    use_pallas: bool = False
     n_layer: int = 1
     mode: str = "enc_self_attn"
     d_rpe: int = -1
@@ -228,6 +256,7 @@ class TransformerBlock(nn.Module):
                 mode=self.mode,
                 d_rpe=self.d_rpe,
                 apply_q_rpe=self.apply_q_rpe,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(
