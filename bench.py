@@ -18,7 +18,18 @@ import json
 import os
 import time
 
+# keep the CPU backend available so parameter init traces locally (fast)
+# instead of through the remote TPU compiler
+if os.environ.get("JAX_PLATFORMS") in ("axon", "tpu"):
+    os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
+
 import jax
+
+# persistent compilation cache: the flagship rollout graph is large and the
+# axon remote compiler is slow; cache hits make repeated bench runs start fast
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tb_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 BASELINE_AGENT_STEPS_PER_SEC_PER_CHIP = 8.4e3

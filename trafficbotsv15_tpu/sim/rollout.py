@@ -173,6 +173,14 @@ def rollout(
         gt_avail=gt_avail,
     )
 
+    # RNN mode (temp_window_size <= 0): GRU hiddens join the scan carry
+    rnn_hidden0 = tl_rnn_hidden0 = None
+    if cfg.model.temp_window_size <= 0:
+        h = cfg.model.hidden_dim
+        n_layer_gru = cfg.model.mp_encoder.pl_encoder.n_layer
+        rnn_hidden0 = jnp.zeros((n_layer_gru, n_sc, n_ag, h), jnp.float32)
+        tl_rnn_hidden0 = jnp.zeros((cfg.model.tl_state_predictor.n_layer, n_sc, n_tl, h), jnp.float32)
+
     # ---- initial carry: state at step 0 (dynamics.py:29-64)
     carry = SimCarry(
         valid=gt_valid[:, :, 0],
@@ -186,8 +194,8 @@ def rollout(
         hist_tl_state=jnp.zeros((n_sc, n_tl, W, 5), jnp.float32),
         hist_step_invalid=jnp.ones((W,), bool),
         rule_state=rule_state0,
-        rnn_hidden=None,
-        tl_rnn_hidden=None,
+        rnn_hidden=rnn_hidden0,
+        tl_rnn_hidden=tl_rnn_hidden0,
         key=key,
     )
 

@@ -29,7 +29,25 @@ def build_model(cfg: ExperimentCfg, dtype=jnp.float32) -> TrafficBots:
 
 
 def init_params(cfg: ExperimentCfg, model: TrafficBots, batch: Dict[str, jnp.ndarray], key: jax.Array):
-    """Initialize all parameters by tracing every phase once."""
+    """Initialize all parameters by tracing every phase once.
+
+    The init graph (every encoder + the step) is large; on the TPU backend its
+    one-off compile costs minutes through the remote compiler, so when a CPU
+    backend is available we trace init there and device_put the params after
+    (run with JAX_PLATFORMS=axon,cpu / tpu,cpu to enable)."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None and jax.default_backend() != "cpu":
+        small = jax.tree_util.tree_map(lambda x: jax.device_put(x, cpu), batch)
+        with jax.default_device(cpu):
+            params = _init_params_traced(cfg, model, small, key)
+        return jax.device_put(params, jax.devices()[0])
+    return _init_params_traced(cfg, model, batch, key)
+
+
+def _init_params_traced(cfg: ExperimentCfg, model: TrafficBots, batch: Dict[str, jnp.ndarray], key: jax.Array):
     pp = pre_processing(
         batch, tl_mode=cfg.model.tl_mode, navi_mode=cfg.model.navi_mode,
         n_step_hist=cfg.n_step_hist, dropout_p_history=-1.0, training=True,
