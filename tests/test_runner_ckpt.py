@@ -1,0 +1,64 @@
+"""End-to-end CLI runner + checkpoint round-trip (tiny synthetic, few steps)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trafficbotsv15_tpu.config import tiny_config, config_to_dict, config_from_dict
+from trafficbotsv15_tpu.data.synthetic import make_batch
+from trafficbotsv15_tpu.train.checkpoint import CheckpointManager
+from trafficbotsv15_tpu.train.pipeline import build_model, init_params
+from trafficbotsv15_tpu.train.swa import ema_init, ema_update, swa_init, swa_update, swa_params
+
+
+def test_config_roundtrip():
+    cfg = tiny_config()
+    d = config_to_dict(cfg)
+    cfg2 = config_from_dict(d)
+    assert cfg2 == cfg
+    d["model"]["hidden_dim"] = 64
+    cfg3 = config_from_dict(d)
+    assert cfg3.model.hidden_dim == 64
+    assert cfg3.model.tf_cfg == cfg.model.tf_cfg
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config()
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=2, seed=0).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_last({"params": params}, cfg, {"step": 7})
+    state, cfg2, meta = mgr.restore("last", {"params": params})
+    assert meta["step"] == 7
+    assert cfg2 == cfg
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(state["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # best-score logic: lower is better, keeps top-1
+    assert mgr.save_best({"params": params}, cfg, 1.0, {})
+    assert not mgr.save_best({"params": params}, cfg, 2.0, {})
+    assert mgr.save_best({"params": params}, cfg, 0.5, {})
+
+    # morph-for-submission overrides at restore (configs/resume/submission.yaml)
+    state, cfg3, _ = mgr.restore("best", {"params": params},
+                                 config_overrides={"n_joint_future_wosac": 128})
+    assert cfg3.n_joint_future_wosac == 128
+
+
+def test_swa_ema():
+    p = {"w": jnp.asarray([1.0, 2.0])}
+    e = ema_init(p)
+    e = ema_update(e, {"w": jnp.asarray([3.0, 4.0])}, decay=0.5)
+    np.testing.assert_allclose(np.asarray(e["w"]), [2.0, 3.0])
+
+    s = swa_init(p)
+    s = swa_update(s, {"w": jnp.asarray([2.0, 2.0])}, jnp.asarray(0), start_step=1)  # skipped
+    s = swa_update(s, {"w": jnp.asarray([2.0, 2.0])}, jnp.asarray(1), start_step=1)
+    s = swa_update(s, {"w": jnp.asarray([4.0, 4.0])}, jnp.asarray(2), start_step=1)
+    out = swa_params(s, p)
+    np.testing.assert_allclose(np.asarray(out["w"]), [3.0, 3.0])

@@ -352,6 +352,26 @@ def tiny_config(
         ),
         batch_size_train=2,
         batch_size_test=2,
+        precision="fp32",
+    )
+
+
+def scaled_config() -> ExperimentCfg:
+    """BASELINE config #5: wider/deeper HPTR backbone (~40M params) with
+    long-horizon (>8 s) rollouts; K=6 WOMD modes come from the same
+    joint-future reduction. Data-parallel over the mesh; model-axis sharding
+    hooks live in parallel.mesh for when this outgrows one chip."""
+    return ExperimentCfg(
+        time_step_end=120,  # 12 s at 10 Hz (beyond-GT steps run free, no forcing/loss)
+        model=ModelCfg(
+            hidden_dim=256,
+            tf_cfg=TransformerCfg(d_model=256, n_head=8),
+            mp_encoder=MapEncoderCfg(n_layer_tf=12),
+            tl_encoder=TlEncoderCfg(n_layer_tf=6),
+            ag_encoder=AgEncoderCfg(n_layer_tf=6),
+            latent_encoder=LatentEncoderCfg(latent_dim=32),
+        ),
+        batch_size_train=1,
     )
 
 

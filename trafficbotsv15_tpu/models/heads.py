@@ -52,6 +52,9 @@ class ActionHead(nn.Module):
             else:
                 p = self.param("log_std", nn.initializers.constant(c.log_std), (self.action_dim,))
                 log_std = jnp.broadcast_to(p, shape + (self.action_dim,))
+        # heads feed the dynamics integrator and log-prob losses: keep fp32
+        mean = mean.astype(jnp.float32)
+        log_std = log_std.astype(jnp.float32) if not isinstance(log_std, float) else log_std
         return DiagGaussian(mean, jnp.exp(log_std), valid=valid)
 
 

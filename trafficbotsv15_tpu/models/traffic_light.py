@@ -255,4 +255,4 @@ class TrafficLightStatePredictor(nn.Module):
                 deterministic=deterministic,
             )
         logits = self.mlp(tl_token_feature, tl_token_invalid, deterministic=deterministic)
-        return jnp.clip(logits, -3.0, 3.0), new_hidden
+        return jnp.clip(logits, -3.0, 3.0).astype(jnp.float32), new_hidden

@@ -94,7 +94,9 @@ def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_s
 
 
 def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
-        max_steps: Optional[int] = None, log_every: int = 50):
+        max_steps: Optional[int] = None, log_every: int = 50,
+        validate_every_epoch: bool = False, val_max_batches: int = 8,
+        ema_decay: float = 0.0):
     mesh = make_mesh()
     b_sh, repl = batch_sharding(mesh), replicated(mesh)
     logger = MetricsLogger()
@@ -122,6 +124,15 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
     key = jax.random.PRNGKey(cfg.seed + 1)
     step = 0
     t_start = time.time()
+
+    ema = None
+    ema_step = None
+    if ema_decay > 0:
+        from trafficbotsv15_tpu.train.swa import ema_init, ema_update
+
+        ema = ema_init(params)
+        ema_step = jax.jit(lambda e, p: ema_update(e, p, ema_decay), donate_argnums=(0,))
+
     for epoch in range(cfg.max_epochs):
         for batch in train_loader:
             if step >= steps_per_epoch * (epoch + 1):
@@ -130,6 +141,8 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
                      if not isinstance(v, list)}
             key, k = jax.random.split(key)
             params, opt_state, metrics = train_step(params, opt_state, batch, k, epoch)
+            if ema is not None:
+                ema = ema_step(ema, params)
             step += 1
             if step % log_every == 0 or step == 1:
                 m = {kk: float(vv) for kk, vv in metrics.items()}
@@ -137,8 +150,15 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
                 logger.log(step, m)
             if max_steps and step >= max_steps:
                 break
-        ckpt.save_last({"params": params, "opt_state": opt_state}, cfg,
-                       {"step": step, "epoch": epoch})
+        state = {"params": params, "opt_state": opt_state}
+        if ema is not None:
+            state["ema"] = ema
+        ckpt.save_last(state, cfg, {"step": step, "epoch": epoch})
+        if validate_every_epoch:
+            from trafficbotsv15_tpu.eval.runner import validate
+
+            vm = validate(cfg, val_loader, params=params, max_batches=val_max_batches, logger=logger)
+            ckpt.save_best(state, cfg, vm.get("val/loss", 0.0), {"step": step, "epoch": epoch})
         if max_steps and step >= max_steps:
             break
     return params, logger

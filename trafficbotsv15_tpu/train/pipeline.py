@@ -23,7 +23,10 @@ from trafficbotsv15_tpu.sim.teacher_forcing import build_forcing_masks
 from trafficbotsv15_tpu.train.losses import training_loss
 
 
-def build_model(cfg: ExperimentCfg, dtype=jnp.float32) -> TrafficBots:
+def build_model(cfg: ExperimentCfg, dtype=None) -> TrafficBots:
+    """Compute dtype follows cfg.precision (bf16 matmuls, fp32 params/heads)."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
     navi_dim = {"cmd": cfg.data.n_ag_cmd, "goal": 4}.get(cfg.model.navi_mode)
     return TrafficBots(cfg=cfg.model, time_step_gt=cfg.time_step_gt, navi_dim=navi_dim, dtype=dtype)
 
