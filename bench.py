@@ -44,6 +44,7 @@ def main():
     n_sc = int(os.environ.get("BENCH_N_SC", "2"))
     n_future = int(os.environ.get("BENCH_N_FUTURE", "32"))
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    check_level = int(os.environ.get("BENCH_CHECK_LEVEL", "1"))
 
     cfg = leaderboard_config()
     batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=n_sc, seed=0).items()}
@@ -52,7 +53,7 @@ def main():
 
     def run(params, batch, key):
         _, buf = joint_future_pred(cfg, model, params, batch, key,
-                                   n_joint_future=n_future, check_level=1)
+                                   n_joint_future=n_future, check_level=check_level)
         # reduce outputs so only scalars come back to host
         return jnp.sum(buf.pred_pose), jnp.sum(buf.violation["collided_wosac"])
 

@@ -49,11 +49,12 @@ def make_validate_step(cfg: ExperimentCfg, model):
         pp2, jf_buf = joint_future_pred(cfg, model, params, batch, k2)
         jf_rule = traffic_rule_sums(jf_buf, pp2.ag_type)
 
-        # WOMD 32 -> 6 modes on the future horizon
+        # WOMD 32 -> 6 modes on the future horizon (buffer steps start at abs
+        # step 1, so index time_step_current-? : slice gives steps 11..90)
         future = jf_buf.pred_pose[:, :, :, cfg.time_step_current:]
         womd = womd_post_process(
-            cfg.womd_post, pp2.ag_type, jnp.swapaxes(future, 1, 2).swapaxes(1, 2),
-            jf_buf.log_prob, track_future_samples=cfg.time_step_gt - cfg.time_step_current,
+            cfg.womd_post, pp2.ag_type, future, jf_buf.log_prob,
+            track_future_samples=cfg.time_step_gt - cfg.time_step_current,
         )
         wosac_trajs = filter_futures(cfg.wosac_post, jf_buf, pp2.ag_role, cfg.time_step_current)
         return dict(
@@ -62,6 +63,89 @@ def make_validate_step(cfg: ExperimentCfg, model):
         )
 
     return step
+
+
+def test_submission(
+    cfg: ExperimentCfg,
+    test_loader,
+    params,
+    out_dir: str = ".",
+    n_joint_future: Optional[int] = None,
+    max_batches: Optional[int] = None,
+    meta=None,
+):
+    """Generate WOMD + WOSAC submissions from the test split (no GT):
+    prior latent, predicted navi, K=128 futures filtered to 32
+    (waymo_motion.py test_step:843-920 + test_epoch_end:922-931).
+    Proto writing requires waymo_open_dataset; otherwise returns the arrays."""
+    from trafficbotsv15_tpu.eval.submission import SubmissionMeta, SubWOMD, SubWOSAC
+    from trafficbotsv15_tpu.eval.wosac_post_processing import build_wosac_data, get_scenario_rollouts, to_global_frame
+
+    model = build_model(cfg)
+    k = n_joint_future or 128  # submission override (configs/resume/submission.yaml)
+
+    def step(params, batch, key):
+        pp, buf = joint_future_pred(cfg, model, params, batch, key, n_joint_future=k)
+        future = buf.pred_pose[:, :, :, cfg.time_step_current:]
+        womd = womd_post_process(
+            cfg.womd_post, pp.ag_type, future, buf.log_prob,
+            track_future_samples=cfg.time_step_gt - cfg.time_step_current,
+        )
+        from trafficbotsv15_tpu.eval.wosac_post_processing import filter_futures
+
+        wosac_trajs = filter_futures(cfg.wosac_post, buf, pp.ag_role, cfg.time_step_current)
+        return pp, womd, wosac_trajs
+
+    step_fn = jax.jit(step)
+    meta = meta or SubmissionMeta()
+    try:
+        sub_womd, sub_wosac = SubWOMD(meta), SubWOSAC(meta, out_dir=f"{out_dir}/WOSAC")
+        have_protos = True
+    except ImportError:
+        sub_womd = sub_wosac = None
+        have_protos = False
+
+    results = []
+    for i, batch in enumerate(test_loader):
+        if max_batches and i >= max_batches:
+            break
+        scen_bytes = batch.get("scenario_bytes")
+        b = {kk: jnp.asarray(np.asarray(v)) for kk, v in batch.items() if not isinstance(v, list)}
+        pp, womd, wosac_trajs = step_fn(params, b, jax.random.PRNGKey(cfg.seed + i))
+        center = b.get("scenario_center")
+        yaw = b.get("scenario_yaw")
+        trajs_global = wosac_trajs
+        if center is not None:
+            trajs_global = to_global_frame(wosac_trajs, center, yaw)
+        out = {
+            "womd_trajs": np.asarray(womd["trajs"]),
+            "womd_scores": np.asarray(womd["scores"]),
+            "wosac_trajs": np.asarray(trajs_global),
+        }
+        results.append(out)
+        if have_protos:
+            sids = ["".join(chr(c) for c in row if c > 0) for row in np.asarray(b["scenario_id"])]
+            g = np.asarray(womd["trajs"])[..., :2]
+            if center is not None:
+                import numpy as _np
+
+                cy = np.asarray(yaw)
+                rot = np.stack([np.stack([np.cos(cy), np.sin(cy)], -1),
+                                np.stack([-np.sin(cy), np.cos(cy)], -1)], -2)
+                g = g @ rot[:, None, None] + np.asarray(center)[:, None, None, None]
+            sub_womd.add(sids, g, out["womd_scores"], np.asarray(b["history/agent/object_id"]),
+                         np.asarray(pp.ag_role[..., 2]))
+            wd = {"trajs": np.asarray(trajs_global)}
+            for kk in ("history/agent/valid", "history/agent/pos", "history/agent/yaw_bbox",
+                       "history/agent/object_id", "history/agent_no_sim/valid", "history/agent_no_sim/pos",
+                       "history/agent_no_sim/yaw_bbox", "history/agent_no_sim/object_id"):
+                wd[kk] = np.asarray(b[kk])
+            rollouts = get_scenario_rollouts(cfg.wosac_post, wd, cfg.time_step_current,
+                                             cfg.time_step_gt, sids)
+            sub_wosac.add(rollouts)
+    if have_protos:
+        return sub_womd.save(out_dir), sub_wosac.save()
+    return results
 
 
 def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None,

@@ -71,7 +71,8 @@ def _kernel(q_ref, k_ref, v_ref, rpe_ref, inv_ref, w_ref, b_ref, out_ref, *, n_h
     attn = e / jnp.where(no_valid, 1.0, denom)  # [s_tile, K, n_head]
 
     out = jnp.sum(attn[..., None] * v, axis=1)  # [s_tile, n_head, d_head]
-    out = jnp.where(no_valid[:, 0, :, None], 0.0, out)
+    # reshape (not int-index) — Mosaic lowers integer indexing as a gather
+    out = jnp.where(no_valid.reshape(s_tile, n_head)[:, :, None], 0.0, out)
     out_ref[...] = out.reshape(1, s_tile, d_model)
 
 

@@ -184,6 +184,19 @@ def main(argv=None):
         from trafficbotsv15_tpu.eval.runner import validate
 
         validate(cfg, val_loader, ckpt_dir=ckpt_dir)
+    elif action == "test":
+        from trafficbotsv15_tpu.eval.runner import test_submission
+        from trafficbotsv15_tpu.train.checkpoint import CheckpointManager
+
+        first = next(iter(val_loader))
+        first_j = {k: jnp.asarray(np.asarray(v)) for k, v in first.items() if not isinstance(v, list)}
+        model = build_model(cfg)
+        example = init_params(cfg, model, first_j, jax.random.PRNGKey(0))
+        # morph-for-submission: K=128 futures (configs/resume/submission.yaml)
+        state, cfg, _ = CheckpointManager(ckpt_dir).restore(
+            "best", {"params": example}, config_overrides={"n_joint_future_wosac": 128}
+        )
+        test_submission(cfg, val_loader, state["params"])
     else:
         raise SystemExit(f"unknown action {action}")
 
