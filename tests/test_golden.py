@@ -1,0 +1,61 @@
+"""Fixed-seed golden-value regression tests (SURVEY §4: golden-tensor tests per
+encoder + end-to-end loss). Guards against silent numerical regressions in the
+encoder stack, rollout and loss assembly. CPU, fp32, fixed seeds.
+
+If an intentional change shifts these values, re-derive them with the
+generation snippet in the module docstring history (git log of this file).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trafficbotsv15_tpu.config import tiny_config
+from trafficbotsv15_tpu.data.preprocessing import pre_processing
+from trafficbotsv15_tpu.data.synthetic import make_batch
+from trafficbotsv15_tpu.train.pipeline import build_model, init_params, training_forward
+
+GOLDEN = {
+    "mp_feat_sum": 684.9255981445312,
+    "mp_feat_absmean": 0.8997582793235779,
+    "loss": 8.217365264892578,
+    "training/vae_kl": 1.6543067693710327,
+    "training/navi_loss": 1.448303461074829,
+    "training/tl_state_loss": 2.7128708362579346,
+}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=2, seed=42).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, batch, jax.random.PRNGKey(42))
+    return cfg, batch, model, params
+
+
+def test_map_encoder_golden(setup):
+    cfg, batch, model, params = setup
+    pp = pre_processing(batch, tl_mode=cfg.model.tl_mode, navi_mode=cfg.model.navi_mode,
+                        n_step_hist=cfg.n_step_hist, training=True)
+    mp = model.apply({"params": params}, pp.mp_valid, pp.mp_attr, pp.mp_pose, pp.mp_type,
+                     method="encode_map")
+    np.testing.assert_allclose(float(jnp.sum(mp.feature)), GOLDEN["mp_feat_sum"], rtol=1e-4)
+    np.testing.assert_allclose(float(jnp.mean(jnp.abs(mp.feature))), GOLDEN["mp_feat_absmean"], rtol=1e-4)
+
+
+def test_training_loss_golden(setup):
+    cfg, batch, model, params = setup
+    loss, m = training_forward(cfg, model, params, batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(loss), GOLDEN["loss"], rtol=1e-3)
+    for k in ("training/vae_kl", "training/navi_loss", "training/tl_state_loss"):
+        np.testing.assert_allclose(float(m[k]), GOLDEN[k], rtol=1e-3, err_msg=k)
+
+
+def test_determinism(setup):
+    """Same key -> bit-identical loss (determinism by construction, SURVEY §5)."""
+    cfg, batch, model, params = setup
+    l1, _ = training_forward(cfg, model, params, batch, jax.random.PRNGKey(9))
+    l2, _ = training_forward(cfg, model, params, batch, jax.random.PRNGKey(9))
+    assert float(l1) == float(l2)

@@ -1,0 +1,87 @@
+"""Tests for the native WOSAC realism likelihood machinery."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from trafficbotsv15_tpu.eval.wosac_likelihood import (
+    HistogramCfg,
+    aggregate_metametric,
+    bernoulli_log_likelihood,
+    compute_scenario_likelihoods,
+    histogram_log_likelihood,
+    kinematic_features,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def test_kinematic_features():
+    # straight line at 5 m/s, heading 0
+    n = 20
+    trajs = np.zeros((1, n, 3), np.float32)
+    trajs[0, :, 0] = np.arange(n) * 0.5  # 0.5 m per 0.1 s = 5 m/s
+    ls, la, ans, aa = kinematic_features(jnp.asarray(trajs))
+    np.testing.assert_allclose(np.asarray(ls), 5.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(la), 0.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ans), 0.0, atol=1e-4)
+
+
+def test_histogram_likelihood_prefers_matching():
+    cfg = HistogramCfg(0.0, 10.0, 50)
+    K, n_ag, n_step = 8, 2, 10
+    sim = np.full((K, n_ag, n_step), 5.0, np.float32)
+    sim_valid = np.ones((K, n_ag, n_step), bool)
+    log_match = np.full((n_ag, n_step), 5.0, np.float32)
+    log_miss = np.full((n_ag, n_step), 9.0, np.float32)
+    lv = np.ones((n_ag, n_step), bool)
+    ll_match = histogram_log_likelihood(jnp.asarray(sim), jnp.asarray(log_match), jnp.asarray(sim_valid), jnp.asarray(lv), cfg)
+    ll_miss = histogram_log_likelihood(jnp.asarray(sim), jnp.asarray(log_miss), jnp.asarray(sim_valid), jnp.asarray(lv), cfg)
+    assert float(ll_match[0]) > float(ll_miss[0]) + 2.0
+
+
+def test_bernoulli_likelihood():
+    sim = jnp.asarray(np.zeros((32, 3), bool))  # no sim collisions
+    log_no = jnp.asarray([False, False, False])
+    log_yes = jnp.asarray([True, True, True])
+    assert float(bernoulli_log_likelihood(sim, log_no).mean()) > -0.01
+    assert float(bernoulli_log_likelihood(sim, log_yes).mean()) < -5.0
+
+
+def test_aggregate_buckets():
+    fields = {k: jnp.asarray(0.8) for k in (
+        "linear_speed_likelihood", "linear_acceleration_likelihood",
+        "angular_speed_likelihood", "angular_acceleration_likelihood",
+        "distance_to_nearest_object_likelihood", "collision_indication_likelihood",
+        "time_to_collision_likelihood", "distance_to_road_edge_likelihood",
+        "offroad_indication_likelihood")}
+    out = aggregate_metametric(fields)
+    np.testing.assert_allclose(float(out["metametric"]), 0.8, atol=1e-6)
+    for b in ("kinematic_metrics", "interactive_metrics", "map_based_metrics"):
+        np.testing.assert_allclose(float(out[b]), 0.8, atol=1e-6)
+
+
+def test_scenario_likelihoods_end_to_end():
+    K, n_ag, n_step = 4, 3, 12
+    base = np.zeros((n_ag, n_step, 3), np.float32)
+    for a in range(n_ag):
+        base[a, :, 0] = np.arange(n_step) * 0.8 + a * 20  # spread out, no collisions
+        base[a, :, 1] = a * 20
+    sim = np.stack([base + RNG.normal(scale=0.05, size=base.shape).astype(np.float32) for _ in range(K)])
+    ag_size = np.tile(np.array([[4.0, 2.0, 1.5]], np.float32), (n_ag, 1))
+    road_edge = np.zeros((5, 2, 2), np.float32)
+    road_edge[:, 0, 1] = -30.0
+    road_edge[:, 1, 1] = -30.0
+    road_edge[:, 0, 0] = np.arange(5) * 10.0
+    road_edge[:, 1, 0] = np.arange(5) * 10.0 + 10.0
+    out = compute_scenario_likelihoods(
+        jnp.asarray(sim), jnp.ones(n_ag, bool), jnp.asarray(base), jnp.ones((n_ag, n_step), bool),
+        jnp.asarray(ag_size), jnp.asarray(road_edge), jnp.ones(5, bool),
+        sim_offroad=jnp.zeros((K, n_ag), bool), logged_offroad=jnp.zeros(n_ag, bool),
+    )
+    for k, v in out.items():
+        assert np.isfinite(float(v)), k
+        assert 0.0 <= float(v) <= 1.0 + 1e-6, (k, float(v))
+    # realistic sim (matching logged) should score a high metametric
+    assert float(out["metametric"]) > 0.3
+    assert float(out["collision_indication_likelihood"]) > 0.9

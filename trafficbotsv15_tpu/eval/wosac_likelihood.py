@@ -1,0 +1,276 @@
+"""Native WOSAC realism likelihoods (package-free JAX implementation).
+
+The official WOSAC metric (wosac.py in the reference, Waymo's
+compute_scenario_metrics_for_bundle) scores, per scenario and agent, the
+log-likelihood of the LOGGED (ground-truth) feature values under the empirical
+distribution of the K=32 simulated rollouts, then aggregates a weighted
+"realism metametric" over three buckets (kinematic / interactive / map).
+
+This module reimplements that mechanism natively so WOSAC-style validation
+runs on TPU without the waymo_open_dataset package:
+
+  - feature extraction from rollout trajectories (linear/angular speed and
+    acceleration; distance to nearest object via the exact WOSAC signed box
+    distance; collision indication; time-to-collision; distance to road edge;
+    offroad indication)
+  - histogram likelihood estimation with additive smoothing (independent
+    timesteps), Bernoulli likelihood for indications
+  - bucket aggregation with the challenge's published weighting scheme.
+
+Bin edges / weights follow the published 2024 challenge configuration's
+structure; where exact constants require the waymo package they are defaults
+here and can be overridden — use eval.wosac_metrics.WOSACMetrics for official
+leaderboard numbers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from trafficbotsv15_tpu.ops.transform import cast_rad
+from trafficbotsv15_tpu.sim.wosac_collision import (
+    EXTREMELY_LARGE_DISTANCE,
+    get_ag_bbox,
+    minkowski_sum_boxes,
+    signed_distance_point_to_polygon,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class HistogramCfg:
+    val_min: float
+    val_max: float
+    num_bins: int
+    additive_smoothing: float = 0.001
+
+
+# Feature configs (2024 challenge structure; values approximate public config)
+FEATURE_CONFIG: Dict[str, HistogramCfg] = {
+    "linear_speed": HistogramCfg(0.0, 30.0, 200),
+    "linear_acceleration": HistogramCfg(-20.0, 20.0, 200),
+    "angular_speed": HistogramCfg(-3.14, 3.14, 200),
+    "angular_acceleration": HistogramCfg(-31.4, 31.4, 200),
+    "distance_to_nearest_object": HistogramCfg(-2.0, 80.0, 200),
+    "time_to_collision": HistogramCfg(0.0, 5.0, 100),
+    "distance_to_road_edge": HistogramCfg(-5.0, 80.0, 200),
+}
+
+# metametric weights per likelihood field (bucket-normalized below)
+FIELD_WEIGHTS = {
+    "linear_speed_likelihood": 0.05,
+    "linear_acceleration_likelihood": 0.05,
+    "angular_speed_likelihood": 0.05,
+    "angular_acceleration_likelihood": 0.05,
+    "distance_to_nearest_object_likelihood": 0.1,
+    "collision_indication_likelihood": 0.25,
+    "time_to_collision_likelihood": 0.1,
+    "distance_to_road_edge_likelihood": 0.1,
+    "offroad_indication_likelihood": 0.25,
+}
+BUCKETS = {
+    "kinematic_metrics": [
+        "linear_speed_likelihood", "linear_acceleration_likelihood",
+        "angular_speed_likelihood", "angular_acceleration_likelihood",
+    ],
+    "interactive_metrics": [
+        "distance_to_nearest_object_likelihood", "collision_indication_likelihood",
+        "time_to_collision_likelihood",
+    ],
+    "map_based_metrics": ["distance_to_road_edge_likelihood", "offroad_indication_likelihood"],
+}
+
+
+# --------------------------------------------------------------- features
+def kinematic_features(trajs: jnp.ndarray, dt: float = 0.1):
+    """trajs [..., n_step, 3] -> (lin_speed, lin_acc, ang_speed, ang_acc), each [..., n_step-k]."""
+    d = jnp.diff(trajs[..., :2], axis=-2)
+    lin_speed = jnp.linalg.norm(d, axis=-1) / dt
+    lin_acc = jnp.diff(lin_speed, axis=-1) / dt
+    ang_speed = cast_rad(jnp.diff(trajs[..., 2], axis=-1)) / dt
+    ang_acc = jnp.diff(ang_speed, axis=-1) / dt
+    return lin_speed, lin_acc, ang_speed, ang_acc
+
+
+def pairwise_signed_distance(pose: jnp.ndarray, ag_size: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Min signed distance to any other valid agent [n_b, n_ag] (WOSAC geometry)."""
+    n_b, n_ag = valid.shape
+    shrink = jnp.minimum(ag_size[..., 0], ag_size[..., 1]) * 0.7 / 2.0
+    corners = get_ag_bbox(pose, ag_size[..., :2] - 2.0 * shrink[..., None])
+    ec = jnp.broadcast_to(corners[:, :, None], (n_b, n_ag, n_ag, 4, 2)).reshape(n_b, n_ag * n_ag, 4, 2)
+    ac = jnp.broadcast_to(corners[:, None], (n_b, n_ag, n_ag, 4, 2)).reshape(n_b, n_ag * n_ag, 4, 2)
+    mink = minkowski_sum_boxes(ec, -1.0 * ac)
+    sd = signed_distance_point_to_polygon(jnp.zeros_like(mink[:, :, 0]), mink).reshape(n_b, n_ag, n_ag)
+    sd = sd - shrink[:, None, :] - shrink[:, :, None]
+    invalid = ~(valid[:, :, None] & valid[:, None, :]) | jnp.eye(n_ag, dtype=bool)[None]
+    sd = jnp.where(invalid, EXTREMELY_LARGE_DISTANCE, sd)
+    return jnp.min(sd, axis=2)
+
+
+def time_to_collision(pose, spd, ag_size, valid, max_ttc: float = 5.0) -> jnp.ndarray:
+    """Constant-velocity lead-vehicle TTC per agent [n_b, n_ag] (simplified:
+    same-lane leader = agent ahead within half-width lateral offset)."""
+    c, s = jnp.cos(pose[..., 2]), jnp.sin(pose[..., 2])
+    dp = pose[:, None, :, :2] - pose[:, :, None, :2]  # i -> j
+    lon = dp[..., 0] * c[:, :, None] + dp[..., 1] * s[:, :, None]
+    lat = -dp[..., 0] * s[:, :, None] + dp[..., 1] * c[:, :, None]
+    half_w = (ag_size[:, :, None, 1] + ag_size[:, None, :, 1]) * 0.5
+    length_gap = lon - (ag_size[:, :, None, 0] + ag_size[:, None, :, 0]) * 0.5
+    ahead = (length_gap > 0) & (jnp.abs(lat) < half_w)
+    closing = spd[:, :, None] - spd[:, None, :]  # >0 means closing in
+    ttc = jnp.where(ahead & (closing > 0.1), length_gap / jnp.maximum(closing, 0.1), max_ttc)
+    invalid = ~(valid[:, :, None] & valid[:, None, :]) | jnp.eye(valid.shape[1], dtype=bool)[None]
+    ttc = jnp.where(invalid, max_ttc, ttc)
+    return jnp.clip(jnp.min(ttc, axis=2), 0.0, max_ttc)
+
+
+def distance_to_road_edge(pose, road_edge, road_edge_valid) -> jnp.ndarray:
+    """Distance to the nearest road-edge segment [n_b, n_ag] (sign: + = inside
+    is not resolved here; offroad indication uses the rule checker)."""
+    p = pose[..., :2][:, :, None]  # [n_b, n_ag, 1, 2]
+    a = road_edge[:, None, :, 0]  # [n_b, 1, n_seg, 2]
+    b = road_edge[:, None, :, 1]
+    ab = b - a
+    t = jnp.clip(jnp.sum((p - a) * ab, -1) / (jnp.sum(ab * ab, -1) + 1e-9), 0.0, 1.0)
+    closest = a + t[..., None] * ab
+    d = jnp.linalg.norm(p - closest, axis=-1)
+    d = jnp.where(road_edge_valid[:, None, :], d, EXTREMELY_LARGE_DISTANCE)
+    return jnp.min(d, axis=2)
+
+
+# ------------------------------------------------------------- likelihoods
+def histogram_log_likelihood(sim: jnp.ndarray, logged: jnp.ndarray, sim_valid, logged_valid,
+                             cfg: HistogramCfg) -> jnp.ndarray:
+    """Per-agent mean log-likelihood of logged values under the sim histogram.
+
+    sim: [K, n_ag, n_step], logged: [n_ag, n_step]; valid masks alike.
+    Histogram pooled over rollouts and steps per agent (independent timesteps).
+    """
+    edges_scale = cfg.num_bins / (cfg.val_max - cfg.val_min)
+    sim_bin = jnp.clip(((sim - cfg.val_min) * edges_scale).astype(jnp.int32), 0, cfg.num_bins - 1)
+    counts = jnp.zeros(sim.shape[1:2] + (cfg.num_bins,))
+    onehot = jax.nn.one_hot(sim_bin, cfg.num_bins) * sim_valid[..., None]
+    counts = jnp.sum(onehot, axis=(0, 2))  # [n_ag, bins]
+    probs = (counts + cfg.additive_smoothing) / (
+        jnp.sum(counts, -1, keepdims=True) + cfg.additive_smoothing * cfg.num_bins
+    )
+    log_bin = jnp.log(probs)
+    logged_bin = jnp.clip(((logged - cfg.val_min) * edges_scale).astype(jnp.int32), 0, cfg.num_bins - 1)
+    ll = jnp.take_along_axis(log_bin, logged_bin, axis=-1)  # [n_ag, n_step]
+    cnt = jnp.maximum(jnp.sum(logged_valid, -1), 1)
+    return jnp.sum(jnp.where(logged_valid, ll, 0.0), -1) / cnt  # [n_ag]
+
+
+def bernoulli_log_likelihood(sim_flag: jnp.ndarray, logged_flag: jnp.ndarray,
+                             smoothing: float = 0.02) -> jnp.ndarray:
+    """sim_flag [K, n_ag] bool, logged_flag [n_ag] bool -> per-agent loglik."""
+    p = (jnp.sum(sim_flag, 0) + smoothing) / (sim_flag.shape[0] + 2 * smoothing)
+    return jnp.where(logged_flag, jnp.log(p), jnp.log1p(-p))
+
+
+def aggregate_metametric(likelihoods: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Weighted buckets + realism metametric (wosac.py:79-97 aggregation)."""
+    out = dict(likelihoods)
+    total_w = sum(FIELD_WEIGHTS.values())
+    meta = sum(FIELD_WEIGHTS[k] * likelihoods[k] for k in FIELD_WEIGHTS if k in likelihoods)
+    out["metametric"] = meta / total_w
+    for bucket, fields in BUCKETS.items():
+        w = sum(FIELD_WEIGHTS[f] for f in fields)
+        out[bucket] = sum(FIELD_WEIGHTS[f] * likelihoods[f] for f in fields if f in likelihoods) / w
+    return out
+
+
+def compute_scenario_likelihoods(
+    sim_trajs: jnp.ndarray,  # [K, n_ag, n_step, 3] simulated futures (global or scene frame)
+    sim_valid: jnp.ndarray,  # [n_ag] (constant over future)
+    logged_trajs: jnp.ndarray,  # [n_ag, n_step, 3] GT future
+    logged_valid: jnp.ndarray,  # [n_ag, n_step]
+    ag_size: jnp.ndarray,  # [n_ag, 3]
+    road_edge: Optional[jnp.ndarray] = None,  # [n_seg, 2, 2]
+    road_edge_valid: Optional[jnp.ndarray] = None,
+    sim_offroad: Optional[jnp.ndarray] = None,  # [K, n_ag] bool
+    logged_offroad: Optional[jnp.ndarray] = None,  # [n_ag] bool
+    dt: float = 0.1,
+) -> Dict[str, jnp.ndarray]:
+    """Scenario-level likelihood fields, averaged over valid agents."""
+    K, n_ag, n_step, _ = sim_trajs.shape
+    v_step = logged_valid
+    v_step_sim = jnp.broadcast_to(sim_valid[None, :, None], (K, n_ag, n_step))
+
+    ls_s, la_s, as_s, aa_s = kinematic_features(sim_trajs, dt)
+    ls_l, la_l, as_l, aa_l = kinematic_features(logged_trajs, dt)
+
+    fields = {}
+    for name, sim_f, log_f, k_off in (
+        ("linear_speed", ls_s, ls_l, 1),
+        ("linear_acceleration", la_s, la_l, 2),
+        ("angular_speed", as_s, as_l, 1),
+        ("angular_acceleration", aa_s, aa_l, 2),
+    ):
+        ll = histogram_log_likelihood(
+            sim_f, log_f, v_step_sim[..., k_off:], v_step[..., k_off:], FEATURE_CONFIG[name]
+        )
+        fields[f"{name}_likelihood"] = _avg_exp(ll, sim_valid)
+
+    # distance to nearest object per step (vmapped over rollouts and steps)
+    def per_step_dist(pose_t, valid_t):
+        return pairwise_signed_distance(pose_t[None], ag_size[None, :, :2], valid_t[None])[0]
+
+    sim_dist = jax.vmap(lambda tr: jax.vmap(per_step_dist, in_axes=(0, None))(
+        jnp.swapaxes(tr, 0, 1), sim_valid))(sim_trajs)  # [K, n_step, n_ag]
+    sim_dist = jnp.swapaxes(sim_dist, 1, 2)
+    log_dist = jax.vmap(per_step_dist, in_axes=(0, 0))(
+        jnp.swapaxes(logged_trajs, 0, 1), jnp.swapaxes(logged_valid, 0, 1))
+    log_dist = jnp.swapaxes(log_dist, 0, 1)
+    cfgd = FEATURE_CONFIG["distance_to_nearest_object"]
+    ll = histogram_log_likelihood(jnp.clip(sim_dist, cfgd.val_min, cfgd.val_max),
+                                  jnp.clip(log_dist, cfgd.val_min, cfgd.val_max),
+                                  v_step_sim, v_step, cfgd)
+    fields["distance_to_nearest_object_likelihood"] = _avg_exp(ll, sim_valid)
+
+    # collision indication: any step with negative distance
+    sim_col = jnp.any((sim_dist < 0) & v_step_sim, axis=-1)
+    log_col = jnp.any((log_dist < 0) & v_step, axis=-1)
+    fields["collision_indication_likelihood"] = _avg_exp(
+        bernoulli_log_likelihood(sim_col, log_col), sim_valid)
+
+    # TTC
+    def per_step_ttc(pose_t, spd_t, valid_t):
+        return time_to_collision(pose_t[None], spd_t[None], ag_size[None], valid_t[None])[0]
+
+    sim_spd = jnp.concatenate([ls_s[..., :1], ls_s], axis=-1)
+    log_spd = jnp.concatenate([ls_l[..., :1], ls_l], axis=-1)
+    sim_ttc = jax.vmap(lambda tr, sp: jax.vmap(per_step_ttc, in_axes=(0, 0, None))(
+        jnp.swapaxes(tr, 0, 1), jnp.swapaxes(sp, 0, 1), sim_valid))(sim_trajs, sim_spd)
+    sim_ttc = jnp.swapaxes(sim_ttc, 1, 2)
+    log_ttc = jnp.swapaxes(jax.vmap(per_step_ttc, in_axes=(0, 0, 0))(
+        jnp.swapaxes(logged_trajs, 0, 1), jnp.swapaxes(log_spd, 0, 1),
+        jnp.swapaxes(logged_valid, 0, 1)), 0, 1)
+    ll = histogram_log_likelihood(sim_ttc, log_ttc, v_step_sim, v_step, FEATURE_CONFIG["time_to_collision"])
+    fields["time_to_collision_likelihood"] = _avg_exp(ll, sim_valid)
+
+    if road_edge is not None:
+        def edge_dist(tr):  # [n_ag, n_step, 3] -> [n_ag, n_step]
+            d = jax.vmap(lambda pose_t: distance_to_road_edge(
+                pose_t[None], road_edge[None], road_edge_valid[None])[0])(jnp.swapaxes(tr, 0, 1))
+            return jnp.swapaxes(d, 0, 1)
+
+        cfge = FEATURE_CONFIG["distance_to_road_edge"]
+        sim_red = jnp.clip(jax.vmap(edge_dist)(sim_trajs), cfge.val_min, cfge.val_max)
+        log_red = jnp.clip(edge_dist(logged_trajs), cfge.val_min, cfge.val_max)
+        ll = histogram_log_likelihood(sim_red, log_red, v_step_sim, v_step, cfge)
+        fields["distance_to_road_edge_likelihood"] = _avg_exp(ll, sim_valid)
+    if sim_offroad is not None and logged_offroad is not None:
+        fields["offroad_indication_likelihood"] = _avg_exp(
+            bernoulli_log_likelihood(sim_offroad, logged_offroad), sim_valid)
+
+    return aggregate_metametric(fields)
+
+
+def _avg_exp(per_agent_ll: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """exp(mean loglik) over valid agents -> scalar likelihood in (0, 1]."""
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.exp(jnp.sum(jnp.where(valid, per_agent_ll, 0.0)) / n)
