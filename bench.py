@@ -33,6 +33,27 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 BASELINE_AGENT_STEPS_PER_SEC_PER_CHIP = 8.4e3
+# training baseline: 1.2 effective WOMD epochs (~584k samples) in ~5 days on
+# 4 GPUs (README.md:45,55) => ~1.35 samples/s over 4 chips = 0.34 samples/s/chip
+BASELINE_TRAIN_SAMPLES_PER_SEC_PER_CHIP = 0.34
+
+
+def bench_train(cfg, model, params, batch, n_iters):
+    """Full training step (forward + 90-step BPTT rollout + AdamW) throughput."""
+    from trafficbotsv15_tpu.train.optimizer import make_optimizer
+    from trafficbotsv15_tpu.train.pipeline import make_train_step
+
+    opt = make_optimizer(cfg.optimizer, steps_per_epoch=1000)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(cfg, model, opt), static_argnums=(4,), donate_argnums=(0, 1))
+    key = jax.random.PRNGKey(1)
+    params, opt_state, m = step(params, opt_state, batch, key, 0)  # compile
+    jax.block_until_ready(m["training/loss"])
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        params, opt_state, m = step(params, opt_state, batch, jax.random.fold_in(key, i), 0)
+    jax.block_until_ready(m["training/loss"])
+    return (time.perf_counter() - t0) / n_iters
 
 
 def main():
@@ -41,7 +62,8 @@ def main():
     from trafficbotsv15_tpu.train.evaluation import joint_future_pred
     from trafficbotsv15_tpu.train.pipeline import build_model, init_params
 
-    n_sc = int(os.environ.get("BENCH_N_SC", "2"))
+    mode = os.environ.get("BENCH_MODE", "rollout")
+    n_sc = int(os.environ.get("BENCH_N_SC", "8" if mode == "train" else "2"))
     n_future = int(os.environ.get("BENCH_N_FUTURE", "32"))
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     check_level = int(os.environ.get("BENCH_CHECK_LEVEL", "1"))
@@ -50,6 +72,18 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=n_sc, seed=0).items()}
     model = build_model(cfg)
     params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
+
+    if mode == "train":
+        dt = bench_train(cfg, model, params, batch, n_iters)
+        n_chips = len([d for d in jax.devices() if d.platform != "cpu"]) or 1
+        value = n_sc / dt / n_chips
+        print(json.dumps({
+            "metric": "train_samples_per_sec_per_chip",
+            "value": round(value, 3),
+            "unit": "samples/s/chip",
+            "vs_baseline": round(value / BASELINE_TRAIN_SAMPLES_PER_SEC_PER_CHIP, 2),
+        }))
+        return
 
     def run(params, batch, key):
         _, buf = joint_future_pred(cfg, model, params, batch, key,
@@ -71,7 +105,7 @@ def main():
 
     n_steps = cfg.time_step_end - cfg.time_step_current  # 80 future steps
     agent_steps = n_sc * n_future * cfg.data.n_ag * n_steps
-    n_chips = len(jax.devices())
+    n_chips = len([d for d in jax.devices() if d.platform != "cpu"]) or 1
     value = agent_steps / dt / n_chips
 
     print(json.dumps({

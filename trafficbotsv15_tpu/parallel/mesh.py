@@ -25,6 +25,27 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed on multi-host TPU slices (idempotent).
+
+    Single-host (and this image's single-chip tunnel) is a no-op. On a pod
+    slice, call before any jax API on every worker; the TPU environment
+    provides coordinator discovery.
+    """
+    import os
+
+    multi_host = any(
+        os.environ.get(k) for k in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS")
+    )
+    if not multi_host:
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except (RuntimeError, ValueError):
+        return False  # already initialized or single-process
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     """Create a (data, model) mesh. Defaults to all devices on the data axis."""
     devices = list(jax.devices()) if devices is None else list(devices)

@@ -165,6 +165,9 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
 
 
 def main(argv=None):
+    from trafficbotsv15_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     argv = sys.argv[1:] if argv is None else argv
     overrides = parse_overrides(argv)
     action = overrides.pop("action", "fit")

@@ -130,8 +130,14 @@ def rollout(
     step_end: Optional[int] = None,
     deterministic_action: bool = True,
     train: bool = False,
+    remat: bool = True,
 ) -> RolloutBuffer:
-    """Run the closed-loop simulation from step 1 to step_end inclusive."""
+    """Run the closed-loop simulation from step 1 to step_end inclusive.
+
+    With remat (training default) the scan body is wrapped in jax.checkpoint:
+    BPTT over 90 steps would otherwise store every step's encoder activations
+    (~10s of GB at flagship batch); rematerialization recomputes them in the
+    backward pass, trading one extra forward for O(carry) memory."""
     step_end = cfg.time_step_end if step_end is None else step_end
     n_step_roll = step_end  # steps 1..step_end
     n_sc, n_ag, t_gt = gt_valid.shape
@@ -314,7 +320,8 @@ def rollout(
         )
         return new_carry, out
 
-    _, outs = jax.lax.scan(step_fn, carry, xs)
+    body = jax.checkpoint(step_fn, prevent_cse=False) if (train and remat) else step_fn
+    _, outs = jax.lax.scan(body, carry, xs)
 
     # step axis first -> step axis at dim 2
     def to_buffer(x):

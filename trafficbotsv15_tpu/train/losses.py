@@ -93,7 +93,11 @@ def training_loss(
 
     # navigation NLL
     if navi_pred is not None and cfg.w_navi > 0:
+        from trafficbotsv15_tpu.ops.distributions import DestCategorical
+
         navi_valid = navi_pred.valid & jnp.any(loss_valid, axis=-1)
+        if isinstance(navi_pred, DestCategorical) and navi_gt.ndim == navi_pred.logits.ndim:
+            navi_gt = jnp.argmax(navi_gt, axis=-1)  # cmd mode: one-hot -> class index
         nll = -navi_pred.log_prob(navi_gt)
         nll = jnp.where(navi_valid, nll, 0.0)
         if w_rel is not None:
