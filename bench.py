@@ -27,7 +27,7 @@ import jax
 
 # persistent compilation cache: the flagship rollout graph is large and the
 # axon remote compiler is slow; cache hits make repeated bench runs start fast
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_tb_tpu"))
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser(f"~/.cache/jax_tb_tpu_{__import__('platform').node()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp

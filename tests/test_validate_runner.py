@@ -1,0 +1,36 @@
+"""End-to-end validate runner on the tiny config + synthetic loader."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from trafficbotsv15_tpu.config import tiny_config
+from trafficbotsv15_tpu.data.synthetic import make_batch
+from trafficbotsv15_tpu.eval.runner import validate
+from trafficbotsv15_tpu.train.pipeline import build_model, init_params
+
+
+class Loader:
+    def __init__(self, cfg, n_batches=2, n_sc=2):
+        self.cfg, self.n_batches, self.n_sc = cfg, n_batches, n_sc
+
+    def __iter__(self):
+        for i in range(self.n_batches):
+            yield make_batch(self.cfg.data, n_sc=self.n_sc, seed=100 + i)
+
+
+def test_validate_end_to_end():
+    cfg = tiny_config(n_ag=6, n_mp=20, n_tl=6, n_step=13, hidden_dim=32)
+    loader = Loader(cfg)
+    batch0 = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, batch0, jax.random.PRNGKey(0))
+
+    metrics = validate(cfg, loader, params=params)
+    assert np.isfinite(metrics["val/loss"])
+    assert "reactive_replay/err/pos_meter" in metrics
+    assert "joint_future_pred/traffic_rule/collided" in metrics
+    assert "joint_future_pred/womd/min_ade" in metrics
+    assert np.isfinite(metrics["joint_future_pred/womd/min_ade"])
+    assert metrics["val/scenarios_per_sec"] > 0

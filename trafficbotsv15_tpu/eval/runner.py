@@ -57,10 +57,23 @@ def make_validate_step(cfg: ExperimentCfg, model):
             track_future_samples=cfg.time_step_gt - cfg.time_step_current,
         )
         wosac_trajs = filter_futures(cfg.wosac_post, jf_buf, pp2.ag_role, cfg.time_step_current)
-        return dict(
+
+        out = dict(
             loss_metrics=loss_metrics, err_sums=err_sums, rr_rule=rr_rule, jf_rule=jf_rule,
             womd_trajs=womd["trajs"], womd_scores=womd["scores"], wosac_trajs=wosac_trajs,
         )
+        # native WOMD motion metrics on the reduced modes (minADE/minFDE/MR)
+        if pp2.gt_valid is not None:
+            from trafficbotsv15_tpu.eval.womd_metrics import native_motion_metrics
+
+            out["womd_metric_vals"] = native_motion_metrics(
+                womd["trajs"],  # [n_sc, n_ag, K, n_step_2hz, 3]
+                womd["scores"],
+                gt_pos=pp2.gt_pose[..., :2], gt_yaw=pp2.gt_pose[..., 2],
+                gt_valid=pp2.gt_valid, gt_spd=pp2.gt_motion[..., 0],
+                mask_pred=pp2.ag_role[..., 2], step_current=cfg.time_step_current,
+            )
+        return out
 
     return step
 
@@ -148,6 +161,28 @@ def test_submission(
     return results
 
 
+def save_validation_videos(cfg, batch, buf, out_dir: str = "videos", n_vis: int = 1):
+    """Render reactive-replay rollout videos (waymo_motion.py:717-818 analog)."""
+    from pathlib import Path
+
+    from trafficbotsv15_tpu.utils.visualization import save_rollout_video
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    paths = []
+    bb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+    pv = np.asarray(buf.pred_valid)[:, 0]
+    ppred = np.asarray(buf.pred_pose)[:, 0]
+    viol = np.asarray(buf.violation["collided"])[:, 0] if "collided" in buf.violation else None
+    for i in range(min(n_vis, pv.shape[0])):
+        paths.append(save_rollout_video(
+            f"{out_dir}/scenario_{i}.mp4",
+            bb["map/valid"][i], bb["map/type"][i], bb["map/pos"][i], bb["map/boundary"][i],
+            pred_pose=ppred[i], pred_valid=pv[i], ag_size=bb["agent/size"][i],
+            ag_role=bb["agent/role"][i], violation=None if viol is None else viol[i],
+        ))
+    return paths
+
+
 def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None,
              max_batches: Optional[int] = None, logger: Optional[MetricsLogger] = None):
     model = build_model(cfg)
@@ -162,7 +197,7 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         params = state["params"]
 
     step_fn = jax.jit(make_validate_step(cfg, model))
-    err_sums, rr_rule, jf_rule, losses = {}, {}, {}, []
+    err_sums, rr_rule, jf_rule, losses, womd_vals = {}, {}, {}, [], []
     n = 0
     t0 = time.time()
     for i, batch in enumerate(val_loader):
@@ -174,9 +209,14 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         rr_rule = merge_sums(rr_rule, jax.tree_util.tree_map(np.asarray, out["rr_rule"]))
         jf_rule = merge_sums(jf_rule, jax.tree_util.tree_map(np.asarray, out["jf_rule"]))
         losses.append({k: float(v) for k, v in out["loss_metrics"].items()})
+        if "womd_metric_vals" in out:
+            womd_vals.append({k: float(v) for k, v in out["womd_metric_vals"].items()})
         n += next(iter(b.values())).shape[0]
 
     metrics: Dict[str, float] = {}
+    if womd_vals:
+        for k in womd_vals[0]:
+            metrics[f"joint_future_pred/womd/{k}"] = float(np.mean([w[k] for w in womd_vals]))
     metrics.update(compute_error_metrics(err_sums, "reactive_replay"))
     metrics.update(compute_traffic_rule_metrics(rr_rule, "reactive_replay"))
     metrics.update(compute_traffic_rule_metrics(jf_rule, "joint_future_pred"))

@@ -70,6 +70,38 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def device_prefetch(iterator, sharding, depth: int = 2, skip_keys=("scenario_bytes",)):
+    """Overlap host->device transfer with compute: keep `depth` batches in
+    flight on the device (the pin_memory/prefetch role of the reference's
+    DataLoader, data_h5_womd.py:206-216)."""
+    import collections
+
+    import numpy as np
+
+    queue = collections.deque()
+
+    def put(b):
+        return {
+            k: jax.device_put(np.asarray(v), sharding)
+            for k, v in b.items()
+            if k not in skip_keys and not isinstance(v, list)
+        }
+
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def pad_batch_to_devices(batch, n_devices: int):
     """Pad the scenario dim so it divides the data-axis size (padded scenarios
     have all-invalid agents and contribute nothing to sums)."""

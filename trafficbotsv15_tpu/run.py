@@ -133,12 +133,12 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         ema = ema_init(params)
         ema_step = jax.jit(lambda e, p: ema_update(e, p, ema_decay), donate_argnums=(0,))
 
+    from trafficbotsv15_tpu.parallel.mesh import device_prefetch
+
     for epoch in range(cfg.max_epochs):
-        for batch in train_loader:
+        for batch in device_prefetch(train_loader, b_sh):
             if step >= steps_per_epoch * (epoch + 1):
                 break
-            batch = {k: jax.device_put(np.asarray(v), b_sh) for k, v in batch.items()
-                     if not isinstance(v, list)}
             key, k = jax.random.split(key)
             params, opt_state, metrics = train_step(params, opt_state, batch, k, epoch)
             if ema is not None:
