@@ -49,11 +49,17 @@ def bench_train(cfg, model, params, batch, n_iters):
     key = jax.random.PRNGKey(1)
     params, opt_state, m = step(params, opt_state, batch, key, 0)  # compile
     jax.block_until_ready(m["training/loss"])
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for i in range(n_iters):
         params, opt_state, m = step(params, opt_state, batch, jax.random.fold_in(key, i), 0)
     jax.block_until_ready(m["training/loss"])
-    return (time.perf_counter() - t0) / n_iters
+    dt = (time.perf_counter() - t0) / n_iters
+    if profile_dir:
+        jax.profiler.stop_trace()
+    return dt
 
 
 def main():

@@ -21,7 +21,7 @@ class Loader:
 
 
 def test_validate_end_to_end():
-    cfg = tiny_config(n_ag=6, n_mp=20, n_tl=6, n_step=13, hidden_dim=32)
+    cfg = tiny_config(n_ag=6, n_mp=20, n_tl=6, n_step=21, hidden_dim=32)
     loader = Loader(cfg)
     batch0 = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
     model = build_model(cfg)

@@ -63,7 +63,7 @@ def make_validate_step(cfg: ExperimentCfg, model):
             womd_trajs=womd["trajs"], womd_scores=womd["scores"], wosac_trajs=wosac_trajs,
         )
         # native WOMD motion metrics on the reduced modes (minADE/minFDE/MR)
-        if pp2.gt_valid is not None:
+        if pp2.gt_valid is not None and womd["trajs"].shape[3] > 0:
             from trafficbotsv15_tpu.eval.womd_metrics import native_motion_metrics
 
             out["womd_metric_vals"] = native_motion_metrics(
@@ -184,7 +184,8 @@ def save_validation_videos(cfg, batch, buf, out_dir: str = "videos", n_vis: int 
 
 
 def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None,
-             max_batches: Optional[int] = None, logger: Optional[MetricsLogger] = None):
+             max_batches: Optional[int] = None, logger: Optional[MetricsLogger] = None,
+             video_dir: Optional[str] = None):
     model = build_model(cfg)
     logger = logger or MetricsLogger()
     if params is None:
@@ -197,6 +198,14 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         params = state["params"]
 
     step_fn = jax.jit(make_validate_step(cfg, model))
+    if video_dir:  # render n_vis_batch reactive-replay videos (waymo_motion.py:662-671)
+        from trafficbotsv15_tpu.train.evaluation import reactive_replay as _rr
+
+        first = next(iter(val_loader))
+        fb = {k: jnp.asarray(np.asarray(v)) for k, v in first.items() if not isinstance(v, list)}
+        _, vbuf, _, _, _ = _rr(cfg, model, params, fb, jax.random.PRNGKey(0))
+        save_validation_videos(cfg, fb, vbuf.flatten_joint_future(1), out_dir=video_dir,
+                               n_vis=cfg.n_vis_batch)
     err_sums, rr_rule, jf_rule, losses, womd_vals = {}, {}, {}, [], []
     n = 0
     t0 = time.time()

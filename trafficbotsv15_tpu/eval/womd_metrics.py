@@ -141,6 +141,8 @@ def native_motion_metrics(
     displacement decomposed into lateral/longitudinal wrt the GT heading.
     """
     n_step_pred = trajs.shape[3]
+    if n_step_pred == 0:  # degenerate short-horizon config: nothing to measure
+        return {}
     # GT downsampled to the same 2 Hz grid
     steps = step_current + 5 * (jnp.arange(n_step_pred) + 1)
     gt_pos_2hz = gt_pos[:, :, steps]
@@ -160,9 +162,10 @@ def native_motion_metrics(
     valid_ag = mask_pred & jnp.any(gt_valid_2hz, -1)
     n_valid = jnp.maximum(jnp.sum(valid_ag), 1)
 
-    for horizon_s, meas in ((3, 5), (5, 9), (8, 15)):
-        if meas >= n_step_pred:
-            continue
+    horizons = [(h, m) for h, m in ((3, 5), (5, 9), (8, 15)) if m < n_step_pred]
+    if not horizons:  # short-horizon configs: measure at the last sample
+        horizons = [(max((n_step_pred * 5) // 10, 1), n_step_pred - 1)]
+    for horizon_s, meas in horizons:
         upto = meas + 1
         v2 = gt_valid_2hz[:, :, :upto]
         c2 = jnp.maximum(jnp.sum(v2, -1), 1)[:, :, None]
@@ -175,8 +178,8 @@ def native_motion_metrics(
         c, s = jnp.cos(yaw), jnp.sin(yaw)
         dx = d[:, :, :, meas, 0] * c[:, :, None] + d[:, :, :, meas, 1] * s[:, :, None]
         dy = -d[:, :, :, meas, 0] * s[:, :, None] + d[:, :, :, meas, 1] * c[:, :, None]
-        lat_t = _MISS_THRESH_LAT[horizon_s] * scale
-        lon_t = _MISS_THRESH_LON[horizon_s] * scale
+        lat_t = _MISS_THRESH_LAT.get(horizon_s, 1.0) * scale
+        lon_t = _MISS_THRESH_LON.get(horizon_s, 2.0) * scale
         hit = (jnp.abs(dy) <= lat_t[:, :, None]) & (jnp.abs(dx) <= lon_t[:, :, None])
         miss = ~jnp.any(hit, axis=-1)  # [n_sc, n_ag] missed by all K
 

@@ -82,9 +82,18 @@ def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_s
             SynthLoader(n_synthetic // bs_train, bs_train, 0),
             SynthLoader(max(n_synthetic // bs_test // 4, 1), bs_test, 10_000),
         )
+    n_dev = len(jax.devices())
+    if data == "tbcache":
+        from trafficbotsv15_tpu.data.tbcache import TBCacheDataset, TBCacheLoader
+
+        train_ds = TBCacheDataset(f"{data_dir}/training.tbcache")
+        val_ds = TBCacheDataset(f"{data_dir}/validation.tbcache")
+        return (
+            TBCacheLoader(train_ds, cfg.batch_size_train * n_dev, shuffle=True, seed=cfg.seed),
+            TBCacheLoader(val_ds, cfg.batch_size_test * n_dev, shuffle=False),
+        )
     from trafficbotsv15_tpu.data.h5_dataset import DataLoader, H5Dataset, tensor_size_train, tensor_size_val
 
-    n_dev = len(jax.devices())
     train_ds = H5Dataset(f"{data_dir}/training.h5", tensor_size_train(cfg.data))
     val_ds = H5Dataset(f"{data_dir}/validation.h5", tensor_size_val(cfg.data), with_attrs=True)
     return (
