@@ -279,3 +279,16 @@ def test_balanced_kl():
     post2 = DiagGaussian(jnp.asarray([[3.0, 0.0]]), jnp.asarray([[1.0, 1.0]]))
     bkl2 = float(balanced_kl(post2, prior, alpha=0.2, free_nats=1.0)[0])
     assert abs(bkl2 - (4.5 + 0.2 * 4.5)) < 1e-4
+
+
+def test_gather_tgt_onehot_matches():
+    from trafficbotsv15_tpu.ops.rpe import gather_tgt, gather_tgt_onehot
+    feat = jnp.asarray(RNG.normal(size=(2, 7, 8)).astype(np.float32))
+    idx = jnp.asarray(RNG.integers(0, 7, size=(2, 3, 4)).astype(np.int32))
+    a = np.asarray(gather_tgt(feat, idx))
+    b = np.asarray(gather_tgt_onehot(feat, idx))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # backward equivalence
+    g1 = jax.grad(lambda f: gather_tgt(f, idx).sum())(feat)
+    g2 = jax.grad(lambda f: gather_tgt_onehot(f, idx).sum())(feat)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)

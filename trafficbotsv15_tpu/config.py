@@ -310,6 +310,9 @@ class ExperimentCfg:
     max_epochs: int = 6
     limit_train_batches: float = 0.2
     precision: str = "bf16"  # compute dtype; params stay fp32
+    # rollout BPTT rematerialization: "full" (recompute everything, min memory),
+    # "dots" (save matmul outputs, faster backward), "none" (store all activations)
+    remat_policy: str = "full"
 
     @property
     def n_step_hist(self) -> int:

@@ -118,3 +118,18 @@ def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
     flat = idx_tgt.reshape(n_sc, n_src * k)
     out = jnp.take_along_axis(feature, flat[..., None], axis=1)
     return out.reshape(n_sc, n_src, k, feature.shape[-1])
+
+
+def gather_tgt_onehot(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
+    """Gather implemented as a one-hot matmul (MXU).
+
+    Same result as :func:`gather_tgt` but the backward pass is a matmul
+    instead of a scatter-add — TPU scatters serialize and dominate the BPTT
+    backward when the rollout gathers K/V per step. Extra forward FLOPs ride
+    the idle MXU. Use inside differentiated rollouts; plain gather elsewhere.
+    """
+    n_sc, n_src, k = idx_tgt.shape
+    n_tgt = feature.shape[1]
+    onehot = jax.nn.one_hot(idx_tgt.reshape(n_sc, n_src * k), n_tgt, dtype=feature.dtype)
+    out = jnp.einsum("bst,btd->bsd", onehot, feature)
+    return out.reshape(n_sc, n_src, k, feature.shape[-1])

@@ -70,6 +70,27 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**14):
+    """ZeRO/FSDP-style parameter sharding: split each large parameter's
+    largest axis across the data axis; XLA all-gathers it at use and
+    reduce-scatters gradients. Small tensors stay replicated. The 10M flagship
+    fits replicated; this is the scaling path for scaled_config and beyond."""
+    n_data = mesh.shape[DATA_AXIS]
+
+    def shard_one(p):
+        if p.size < min_size:
+            return jax.device_put(p, NamedSharding(mesh, P()))
+        dims = list(p.shape)
+        for axis in sorted(range(len(dims)), key=lambda a: -dims[a]):
+            if dims[axis] % n_data == 0:
+                spec = [None] * len(dims)
+                spec[axis] = DATA_AXIS
+                return jax.device_put(p, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(p, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(shard_one, params)
+
+
 def device_prefetch(iterator, sharding, depth: int = 2, skip_keys=("scenario_bytes",)):
     """Overlap host->device transfer with compute: keep `depth` batches in
     flight on the device (the pin_memory/prefetch role of the reference's

@@ -320,7 +320,14 @@ def rollout(
         )
         return new_carry, out
 
-    body = jax.checkpoint(step_fn, prevent_cse=False) if (train and remat) else step_fn
+    policy = getattr(cfg, "remat_policy", "full")
+    if train and remat and policy != "none":
+        save_policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable if policy == "dots" else None
+        )
+        body = jax.checkpoint(step_fn, prevent_cse=False, policy=save_policy)
+    else:
+        body = step_fn
     _, outs = jax.lax.scan(body, carry, xs)
 
     # step axis first -> step axis at dim 2
