@@ -131,6 +131,10 @@ def rollout(
     deterministic_action: bool = True,
     train: bool = False,
     remat: bool = True,
+    # optional externally-scripted agents (the reference's player_override
+    # hook, waymo_motion.py:150-152/237-238): precomputed per-step actions
+    player_valid: Optional[jnp.ndarray] = None,  # [n_sc, n_ag, n_step_roll]
+    player_action: Optional[jnp.ndarray] = None,  # [n_sc, n_ag, n_step_roll, 2]
 ) -> RolloutBuffer:
     """Run the closed-loop simulation from step 1 to step_end inclusive.
 
@@ -178,6 +182,9 @@ def rollout(
         tl_avail=tl_avail,
         gt_avail=gt_avail,
     )
+    if player_valid is not None:
+        xs["player_valid"] = to_steps(player_valid)
+        xs["player_action"] = to_steps(player_action)
 
     # RNN mode (temp_window_size <= 0): GRU hiddens join the scan carry
     rnn_hidden0 = tl_rnn_hidden0 = None
@@ -247,8 +254,12 @@ def rollout(
         action_unbounded = action_dist.sample(k_action, deterministic_action)
         action_log_prob = action_dist.log_prob(jax.lax.stop_gradient(action_unbounded))
         action_log_prob = jnp.where(c.valid, action_log_prob, 0.0)
+        player = None
+        if "player_valid" in x:
+            player = {"valid": x["player_valid"], "action": x["player_action"]}
         new_pose, new_motion, _ = dyn.step_dynamics(
-            c.pose, c.motion, c.valid, action_unbounded, ag_type, cfg.dynamics
+            c.pose, c.motion, c.valid, action_unbounded, ag_type, cfg.dynamics,
+            player_override=player,
         )
 
         pred_valid, pred_pose, pred_motion = c.valid, new_pose, new_motion
