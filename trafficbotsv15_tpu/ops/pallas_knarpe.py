@@ -98,12 +98,6 @@ def _knarpe_fwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head: int, s_tile:
     )(q, k, v, rpe, invalid, w_rpe, b_rpe)
 
 
-def _squeeze_kernel_blocks(fn):
-    """pallas block shapes keep the leading batch dim of size 1; wrap the
-    kernel to drop it for readability."""
-    return fn
-
-
 def _reference(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head):
     """XLA reference path (identical math; used for backward + fallback)."""
     n_b, n_s, n_knn, d_model = k.shape
