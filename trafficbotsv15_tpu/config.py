@@ -230,6 +230,7 @@ class OptimizerCfg:
     scheduler_gamma: float = 0.5
     scheduler_step_epochs: int = 7
     grad_clip_norm: float = 5.0
+    accumulate_grad_batches: int = 1  # trainer yaml knob (=1 in the reference)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,9 +30,14 @@ def make_optimizer(cfg: OptimizerCfg, steps_per_epoch: int = 1000) -> optax.Grad
             optax.scale(-1.0) if lr is None else optax.scale(-lr / cfg.lr),
         )
 
+    def wrap(tx):
+        if cfg.accumulate_grad_batches > 1:
+            return optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad_batches)
+        return tx
+
     lr_navi: Optional[float] = cfg.lr_navi
     if lr_navi is None or lr_navi == cfg.lr:
-        return adamw(None)
+        return wrap(adamw(None))
 
     def label_fn(params):
         import jax
@@ -43,4 +48,4 @@ def make_optimizer(cfg: OptimizerCfg, steps_per_epoch: int = 1000) -> optax.Grad
 
         return jax.tree_util.tree_map_with_path(label, params)
 
-    return optax.multi_transform({"main": adamw(None), "navi": adamw(lr_navi)}, label_fn)
+    return wrap(optax.multi_transform({"main": adamw(None), "navi": adamw(lr_navi)}, label_fn))
