@@ -9,7 +9,7 @@ serializable to/from dicts for checkpoint round-trips, no runtime deps.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 
 def _d(factory):

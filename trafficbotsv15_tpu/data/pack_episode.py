@@ -15,7 +15,7 @@ waymo_open_dataset package); everything here is testable without it.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

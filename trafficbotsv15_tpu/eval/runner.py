@@ -92,7 +92,7 @@ def test_submission(
     (waymo_motion.py test_step:843-920 + test_epoch_end:922-931).
     Proto writing requires waymo_open_dataset; otherwise returns the arrays."""
     from trafficbotsv15_tpu.eval.submission import SubmissionMeta, SubWOMD, SubWOSAC
-    from trafficbotsv15_tpu.eval.wosac_post_processing import build_wosac_data, get_scenario_rollouts, to_global_frame
+    from trafficbotsv15_tpu.eval.wosac_post_processing import get_scenario_rollouts, to_global_frame
 
     model = build_model(cfg)
     k = n_joint_future or 128  # submission override (configs/resume/submission.yaml)
@@ -140,8 +140,6 @@ def test_submission(
             sids = ["".join(chr(c) for c in row if c > 0) for row in np.asarray(b["scenario_id"])]
             g = np.asarray(womd["trajs"])[..., :2]
             if center is not None:
-                import numpy as _np
-
                 cy = np.asarray(yaw)
                 rot = np.stack([np.stack([np.cos(cy), np.sin(cy)], -1),
                                 np.stack([-np.sin(cy), np.cos(cy)], -1)], -2)

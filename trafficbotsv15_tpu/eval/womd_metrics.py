@@ -13,7 +13,7 @@ predictions into Waymo's official C++ `py_metrics_ops.motion_metrics`
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

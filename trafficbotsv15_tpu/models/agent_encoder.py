@@ -17,7 +17,7 @@ fuse the gather chain; the attention itself can run the Pallas KNARPE kernel.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

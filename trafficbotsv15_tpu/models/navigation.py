@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from trafficbotsv15_tpu.config import AgEncoderCfg, NaviEncoderCfg, NaviPredictorCfg, TransformerCfg
-from trafficbotsv15_tpu.models.agent_encoder import AgentEncoder
 from trafficbotsv15_tpu.models.gru import MultiAgentGRU
 from trafficbotsv15_tpu.models.mlp import MLP, InputEncoder
 from trafficbotsv15_tpu.models.mlp import PolylineEncoder

@@ -13,7 +13,7 @@ Design differences from the torch version, both TPU-motivated:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

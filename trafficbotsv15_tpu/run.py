@@ -8,7 +8,6 @@ Overrides use key=value (dots for nesting, e.g. optimizer.lr=1e-4).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import sys
 import time
@@ -21,8 +20,6 @@ import numpy as np
 from trafficbotsv15_tpu.config import ExperimentCfg, config_from_dict, config_to_dict, leaderboard_config, tiny_config
 from trafficbotsv15_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from trafficbotsv15_tpu.train.checkpoint import CheckpointManager
-from trafficbotsv15_tpu.train.evaluation import joint_future_pred, reactive_replay
-from trafficbotsv15_tpu.train.losses import training_loss
 from trafficbotsv15_tpu.train.optimizer import make_optimizer
 from trafficbotsv15_tpu.train.pipeline import build_model, init_params, make_train_step
 from trafficbotsv15_tpu.utils.logging import MetricsLogger

@@ -13,7 +13,6 @@ import json
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 from trafficbotsv15_tpu.config import ExperimentCfg, config_from_dict, config_to_dict

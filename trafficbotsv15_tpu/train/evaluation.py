@@ -9,12 +9,12 @@ the data-parallel mesh with everything else.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
-from trafficbotsv15_tpu.config import ExperimentCfg, TeacherForcingCfg
+from trafficbotsv15_tpu.config import ExperimentCfg
 from trafficbotsv15_tpu.data.preprocessing import PreProcessedBatch, pre_processing
 from trafficbotsv15_tpu.models.traffic_bots import TrafficBots
 from trafficbotsv15_tpu.sim import rollout as rollout_lib

@@ -9,13 +9,13 @@ builds the jitted gradient step.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from trafficbotsv15_tpu.config import ExperimentCfg, TeacherForcingCfg
-from trafficbotsv15_tpu.data.preprocessing import PreProcessedBatch, pre_processing
+from trafficbotsv15_tpu.config import ExperimentCfg
+from trafficbotsv15_tpu.data.preprocessing import pre_processing
 from trafficbotsv15_tpu.models.traffic_bots import TrafficBots
 from trafficbotsv15_tpu.sim import rollout as rollout_lib
 from trafficbotsv15_tpu.sim.rule_checker import init_rule_checker

@@ -8,8 +8,6 @@ average (EMA); either can be swapped in for evaluation.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

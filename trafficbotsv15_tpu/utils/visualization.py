@@ -9,8 +9,7 @@ PNG frames when no codec is available.
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Optional
 
 import numpy as np
 
