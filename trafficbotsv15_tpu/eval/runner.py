@@ -204,6 +204,17 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         _, vbuf, _, _, _ = _rr(cfg, model, params, fb, jax.random.PRNGKey(0))
         save_validation_videos(cfg, fb, vbuf.flatten_joint_future(1), out_dir=video_dir,
                                n_vis=cfg.n_vis_batch)
+    # official WOSAC metrics when scenario bytes + waymo package are available
+    # (wosac.py:56-77 — host pool fed by the device rollouts)
+    wosac_official = None
+    try:
+        from trafficbotsv15_tpu.eval.wosac_metrics import WOSACMetrics
+        from trafficbotsv15_tpu.eval.wosac_post_processing import get_scenario_rollouts
+
+        wosac_official = WOSACMetrics("wosac")
+    except ImportError:
+        pass
+
     err_sums, rr_rule, jf_rule, losses, womd_vals = {}, {}, {}, [], []
     n = 0
     t0 = time.time()
@@ -218,9 +229,29 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         losses.append({k: float(v) for k, v in out["loss_metrics"].items()})
         if "womd_metric_vals" in out:
             womd_vals.append({k: float(v) for k, v in out["womd_metric_vals"].items()})
+        if wosac_official is not None and "scenario_bytes" in batch and "scenario_id" in batch:
+            trajs = out["wosac_trajs"]
+            if "scenario_center" in b:
+                from trafficbotsv15_tpu.eval.wosac_post_processing import to_global_frame
+
+                trajs = to_global_frame(trajs, b["scenario_center"], b["scenario_yaw"])
+            sids = ["".join(chr(c) for c in row if c > 0) for row in np.asarray(b["scenario_id"])]
+            wd = {"trajs": np.asarray(trajs)}
+            for kk in ("history/agent/valid", "history/agent/pos", "history/agent/yaw_bbox",
+                       "history/agent/object_id", "history/agent_no_sim/valid",
+                       "history/agent_no_sim/pos", "history/agent_no_sim/yaw_bbox",
+                       "history/agent_no_sim/object_id"):
+                wd[kk] = np.asarray(b[kk])
+            rollouts = get_scenario_rollouts(cfg.wosac_post, wd, cfg.time_step_current,
+                                             cfg.time_step_gt, sids)
+            sb = batch["scenario_bytes"]
+            hexes = [x.tobytes().hex() if hasattr(x, "tobytes") else x for x in sb]
+            wosac_official.update(rollouts, hexes)
         n += next(iter(b.values())).shape[0]
 
     metrics: Dict[str, float] = {}
+    if wosac_official is not None and wosac_official.counter > 0:
+        metrics.update(wosac_official.compute())
     if womd_vals:
         for k in womd_vals[0]:
             metrics[f"joint_future_pred/womd/{k}"] = float(np.mean([w[k] for w in womd_vals]))
