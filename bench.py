@@ -75,6 +75,14 @@ def main():
     check_level = int(os.environ.get("BENCH_CHECK_LEVEL", "1"))
 
     cfg = leaderboard_config()
+    import dataclasses
+
+    if os.environ.get("BENCH_REMAT"):  # full | dots | none
+        cfg = dataclasses.replace(cfg, remat_policy=os.environ["BENCH_REMAT"])
+    if os.environ.get("BENCH_DROPOUT0") == "1":
+        m = cfg.model
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            m, tf_cfg=dataclasses.replace(m.tf_cfg, dropout_p=0.0)))
     batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=n_sc, seed=0).items()}
     model = build_model(cfg)
     params = init_params(cfg, model, batch, jax.random.PRNGKey(0))

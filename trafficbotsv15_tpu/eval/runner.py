@@ -62,7 +62,9 @@ def make_validate_step(cfg: ExperimentCfg, model):
             loss_metrics=loss_metrics, err_sums=err_sums, rr_rule=rr_rule, jf_rule=jf_rule,
             womd_trajs=womd["trajs"], womd_scores=womd["scores"], wosac_trajs=wosac_trajs,
         )
-        # native WOMD motion metrics on the reduced modes (minADE/minFDE/MR)
+        # native WOMD motion metrics on the reduced modes (minADE/minFDE/MR),
+        # for both the K-mode joint futures and the K=1 reactive replay
+        # (waymo_motion.py:611-646 runs the official op on both)
         if pp2.gt_valid is not None and womd["trajs"].shape[3] > 0:
             from trafficbotsv15_tpu.eval.womd_metrics import native_motion_metrics
 
@@ -73,6 +75,17 @@ def make_validate_step(cfg: ExperimentCfg, model):
                 gt_valid=pp2.gt_valid, gt_spd=pp2.gt_motion[..., 0],
                 mask_pred=pp2.ag_role[..., 2], step_current=cfg.time_step_current,
             )
+            womd_rr = womd_post_process(
+                cfg.womd_post, pp.ag_type, rr_buf.pred_pose[:, None, :, cfg.time_step_current:],
+                None, track_future_samples=cfg.time_step_gt - cfg.time_step_current,
+            )
+            if womd_rr["trajs"].shape[3] > 0:
+                out["womd_rr_metric_vals"] = native_motion_metrics(
+                    womd_rr["trajs"], womd_rr["scores"],
+                    gt_pos=pp.gt_pose[..., :2], gt_yaw=pp.gt_pose[..., 2],
+                    gt_valid=pp.gt_valid, gt_spd=pp.gt_motion[..., 0],
+                    mask_pred=pp.ag_role[..., 2], step_current=cfg.time_step_current,
+                )
         return out
 
     return step
@@ -229,6 +242,9 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         losses.append({k: float(v) for k, v in out["loss_metrics"].items()})
         if "womd_metric_vals" in out:
             womd_vals.append({k: float(v) for k, v in out["womd_metric_vals"].items()})
+        if "womd_rr_metric_vals" in out:
+            losses[-1].update({f"reactive_replay/womd/{k}": float(v)
+                               for k, v in out["womd_rr_metric_vals"].items()})
         if wosac_official is not None and "scenario_bytes" in batch and "scenario_id" in batch:
             trajs = out["wosac_trajs"]
             if "scenario_center" in b:

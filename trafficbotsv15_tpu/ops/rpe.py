@@ -113,7 +113,14 @@ def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
         idx_tgt: [n_sc, n_src, K]
     Returns:
         [n_sc, n_src, K, d]
+
+    Set TB_GATHER_ONEHOT=1 to route through the one-hot matmul variant whose
+    backward is a matmul instead of a TPU scatter-add (perf experiment knob).
     """
+    import os
+
+    if os.environ.get("TB_GATHER_ONEHOT") == "1":
+        return gather_tgt_onehot(feature, idx_tgt)
     n_sc, n_src, k = idx_tgt.shape
     flat = idx_tgt.reshape(n_sc, n_src * k)
     out = jnp.take_along_axis(feature, flat[..., None], axis=1)

@@ -120,9 +120,10 @@ def training_forward(
     rngs = {"dropout": k_drop}
     apply = functools.partial(model.apply, {"params": params}, rngs=rngs)
 
-    mp_tokens = apply(pp.mp_valid, pp.mp_attr, pp.mp_pose, pp.mp_type,
-                      deterministic=False, method="encode_map")
-    tl_tokens = apply(pp.tl_valid, pp.tl_attr, pp.tl_pose, mp_tokens, method="precompute_tl")
+    with jax.named_scope("encode_scene"):
+        mp_tokens = apply(pp.mp_valid, pp.mp_attr, pp.mp_pose, pp.mp_type,
+                          deterministic=False, method="encode_map")
+        tl_tokens = apply(pp.tl_valid, pp.tl_attr, pp.tl_pose, mp_tokens, method="precompute_tl")
 
     latent_post = apply(pp.gt_valid, pp.ag_attr, pp.gt_motion, pp.gt_pose, pp.ag_type,
                         pp.gt_tl_state.astype(jnp.float32), mp_tokens, tl_tokens, True,
@@ -148,18 +149,19 @@ def training_forward(
         cfg.teacher_forcing_training, pp.gt_valid, tl_forcing, current_epoch, k_tf
     )
 
-    buffer = rollout_lib.rollout(
-        model, params, cfg, mp_tokens, tl_tokens,
-        ag_attr=pp.ag_attr, ag_type=pp.ag_type, ag_size=pp.ag_size,
-        ag_latent=ag_latent, ag_latent_valid=ag_latent_valid,
-        ag_navi=pp.gt_navi, ag_navi_valid=jnp.any(pp.gt_valid, -1),
-        ag_navi_log_prob=jnp.zeros_like(pp.ag_attr[:, :, 0]),
-        gt_valid=pp.gt_valid, gt_pose=pp.gt_pose, gt_motion=pp.gt_motion,
-        gt_tl_state=pp.gt_tl_state.astype(jnp.float32),
-        ag_forcing=ag_forcing, tl_forcing=tl_forcing,
-        rule_statics=rule_statics, rule_state0=rule_state0, check_level=0,
-        key=k_roll, deterministic_action=cfg.training_deterministic_action, train=True,
-    )
+    with jax.named_scope("rollout_scan"):
+        buffer = rollout_lib.rollout(
+            model, params, cfg, mp_tokens, tl_tokens,
+            ag_attr=pp.ag_attr, ag_type=pp.ag_type, ag_size=pp.ag_size,
+            ag_latent=ag_latent, ag_latent_valid=ag_latent_valid,
+            ag_navi=pp.gt_navi, ag_navi_valid=jnp.any(pp.gt_valid, -1),
+            ag_navi_log_prob=jnp.zeros_like(pp.ag_attr[:, :, 0]),
+            gt_valid=pp.gt_valid, gt_pose=pp.gt_pose, gt_motion=pp.gt_motion,
+            gt_tl_state=pp.gt_tl_state.astype(jnp.float32),
+            ag_forcing=ag_forcing, tl_forcing=tl_forcing,
+            rule_statics=rule_statics, rule_state0=rule_state0, check_level=0,
+            key=k_roll, deterministic_action=cfg.training_deterministic_action, train=True,
+        )
 
     loss, metrics = training_loss(
         cfg.training_metrics, buffer, pp.ag_role, navi_pred, pp.gt_navi,
