@@ -9,6 +9,7 @@ TPU sort over the fixed-size target axis.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Tuple
 
 import jax
@@ -105,6 +106,27 @@ def get_tgt_knn(
     return idx_tgt.astype(jnp.int32), tgt_invalid_knn, rpe
 
 
+_ONEHOT_GATHER_SCOPE = [False]
+
+
+@contextlib.contextmanager
+def onehot_gather_scope(enabled: bool = True):
+    """Trace-time scope: route gather_tgt through the one-hot matmul variant.
+
+    The backward pass of a plain gather is a TPU scatter-add, which serializes
+    and dominates BPTT through the rollout scan (hundreds of scatters across
+    90 steps). Inside this scope gathers become one-hot matmuls whose backward
+    is a matmul (ride the MXU). Used by sim.rollout for training rollouts;
+    forward-only code keeps the cheap gather.
+    """
+    prev = _ONEHOT_GATHER_SCOPE[0]
+    _ONEHOT_GATHER_SCOPE[0] = enabled
+    try:
+        yield
+    finally:
+        _ONEHOT_GATHER_SCOPE[0] = prev
+
+
 def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
     """Gather per-source target features.
 
@@ -114,12 +136,12 @@ def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
     Returns:
         [n_sc, n_src, K, d]
 
-    Set TB_GATHER_ONEHOT=1 to route through the one-hot matmul variant whose
-    backward is a matmul instead of a TPU scatter-add (perf experiment knob).
+    Inside onehot_gather_scope (or with TB_GATHER_ONEHOT=1) the one-hot
+    matmul variant is used (scatter-free backward).
     """
     import os
 
-    if os.environ.get("TB_GATHER_ONEHOT") == "1":
+    if _ONEHOT_GATHER_SCOPE[0] or os.environ.get("TB_GATHER_ONEHOT") == "1":
         return gather_tgt_onehot(feature, idx_tgt)
     n_sc, n_src, k = idx_tgt.shape
     flat = idx_tgt.reshape(n_sc, n_src * k)

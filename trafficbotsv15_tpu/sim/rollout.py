@@ -226,8 +226,11 @@ def rollout(
         hist_tl = jnp.concatenate([c.hist_tl_state[:, :, 1:], sg(c.tl_state)[:, :, None]], axis=2)
         hist_step_invalid = jnp.concatenate([c.hist_step_invalid[1:], jnp.zeros((1,), bool)])
 
+        from trafficbotsv15_tpu.ops.rpe import onehot_gather_scope
+
         rngs = {"dropout": k_drop} if train else None
-        action_dist, tl_logits, rnn_hidden, tl_rnn_hidden = model.apply(
+        with onehot_gather_scope(train):
+            action_dist, tl_logits, rnn_hidden, tl_rnn_hidden = model.apply(
             {"params": params},
             ag_valid=c.valid,
             hist_ag_valid=hist_valid,
