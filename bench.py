@@ -30,6 +30,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser(f"~/.cache/jax_tb_tpu_{__import__('platform').node()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+if os.environ.get("BENCH_RBG") == "1":
+    # cheap TPU-native PRNG for dropout/sampling (threefry replay under full
+    # remat costs a forward's worth of hashing per backward step)
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
 import jax.numpy as jnp
 
 BASELINE_AGENT_STEPS_PER_SEC_PER_CHIP = 8.4e3

@@ -102,7 +102,7 @@ def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_s
 def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         max_steps: Optional[int] = None, log_every: int = 50,
         validate_every_epoch: bool = False, val_max_batches: int = 8,
-        ema_decay: float = 0.0):
+        ema_decay: float = 0.0, profile_dir: Optional[str] = None):
     mesh = make_mesh()
     b_sh, repl = batch_sharding(mesh), replicated(mesh)
     logger = MetricsLogger()
@@ -146,13 +146,23 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
             if step >= steps_per_epoch * (epoch + 1):
                 break
             key, k = jax.random.split(key)
+            # tracing / profiling hook (SURVEY.md §5): capture steps 3-5 once
+            # compiles are warm; view with xprof/tensorboard or Perfetto
+            if profile_dir and step == 3:
+                jax.profiler.start_trace(profile_dir)
             params, opt_state, metrics = train_step(params, opt_state, batch, k, epoch)
             if ema is not None:
                 ema = ema_step(ema, params)
             step += 1
+            if profile_dir and step == 6:
+                jax.block_until_ready(metrics["training/loss"])
+                jax.profiler.stop_trace()
             if step % log_every == 0 or step == 1:
                 m = {kk: float(vv) for kk, vv in metrics.items()}
                 m["steps_per_sec"] = step / (time.time() - t_start)
+                # LearningRateMonitor equivalent (SURVEY.md §5 W&B LR logging)
+                m["lr"] = cfg.optimizer.lr * (cfg.optimizer.scheduler_gamma
+                                              ** ((step // steps_per_epoch) // cfg.optimizer.scheduler_step_epochs))
                 logger.log(step, m)
             if max_steps and step >= max_steps:
                 break
@@ -182,13 +192,18 @@ def main(argv=None):
     preset = overrides.pop("preset", "leaderboard")
     max_steps = overrides.pop("max_steps", None)
     ckpt_dir = overrides.pop("ckpt_dir", "ckpt")
+    profile_dir = overrides.pop("profile_dir", None)
+    if overrides.pop("debug_nans", False):
+        # NaN-checking opt-in (SURVEY.md §5: reference's detect_anomaly analog)
+        jax.config.update("jax_debug_nans", True)
 
     cfg = tiny_config() if preset == "tiny" else leaderboard_config()
     cfg = apply_overrides(cfg, overrides)
 
     train_loader, val_loader = make_dataloaders(cfg, data, data_dir)
     if action == "fit":
-        fit(cfg, train_loader, val_loader, ckpt_dir=ckpt_dir, max_steps=max_steps)
+        fit(cfg, train_loader, val_loader, ckpt_dir=ckpt_dir, max_steps=max_steps,
+            profile_dir=profile_dir)
     elif action == "validate":
         from trafficbotsv15_tpu.eval.runner import validate
 
