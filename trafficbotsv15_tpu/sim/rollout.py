@@ -226,10 +226,13 @@ def rollout(
         hist_tl = jnp.concatenate([c.hist_tl_state[:, :, 1:], sg(c.tl_state)[:, :, None]], axis=2)
         hist_step_invalid = jnp.concatenate([c.hist_step_invalid[1:], jnp.zeros((1,), bool)])
 
+        import os
+
         from trafficbotsv15_tpu.ops.rpe import onehot_gather_scope
 
+        _onehot = train and os.environ.get("TB_TRAIN_ONEHOT_GATHER", "1") == "1"
         rngs = {"dropout": k_drop} if train else None
-        with onehot_gather_scope(train):
+        with onehot_gather_scope(_onehot):
             action_dist, tl_logits, rnn_hidden, tl_rnn_hidden = model.apply(
             {"params": params},
             ag_valid=c.valid,
@@ -295,7 +298,9 @@ def rollout(
         # tl-state NLL vs GT argmax (waymo_motion.py:270-277)
         gt_tl_idx = jnp.argmax(x["gt_tl_state"], axis=-1)
         logp = jax.nn.log_softmax(tl_logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, gt_tl_idx[..., None], axis=-1)[..., 0]
+        # one-hot dot instead of take_along_axis: keeps the BPTT backward
+        # scatter-free (TPU scatters serialize inside the scan backward)
+        nll = -jnp.sum(logp * jax.nn.one_hot(gt_tl_idx, logp.shape[-1], dtype=logp.dtype), axis=-1)
         nll = jnp.where(x["tl_avail"], nll, 0.0)
         nll_invalid = jnp.where(x["tl_avail"], tl_tokens.invalid, jnp.ones_like(tl_tokens.invalid))
 
