@@ -292,3 +292,19 @@ def test_gather_tgt_onehot_matches():
     g1 = jax.grad(lambda f: gather_tgt(f, idx).sum())(feat)
     g2 = jax.grad(lambda f: gather_tgt_onehot(f, idx).sum())(feat)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_onehot_gather_scope():
+    from trafficbotsv15_tpu.ops import rpe
+
+    feat = jnp.asarray(RNG.normal(size=(1, 5, 4)).astype(np.float32))
+    idx = jnp.asarray(RNG.integers(0, 5, size=(1, 2, 3)).astype(np.int32))
+    ref = np.asarray(rpe.gather_tgt_onehot(feat, idx))
+    assert not rpe._ONEHOT_GATHER_SCOPE[0]
+    with rpe.onehot_gather_scope(True):
+        assert rpe._ONEHOT_GATHER_SCOPE[0]
+        np.testing.assert_allclose(np.asarray(rpe.gather_tgt(feat, idx)), ref, atol=1e-6)
+        with rpe.onehot_gather_scope(False):
+            assert not rpe._ONEHOT_GATHER_SCOPE[0]
+        assert rpe._ONEHOT_GATHER_SCOPE[0]
+    assert not rpe._ONEHOT_GATHER_SCOPE[0]
