@@ -50,7 +50,7 @@ def bench_train(cfg, model, params, batch, n_iters):
 
     opt = make_optimizer(cfg.optimizer, steps_per_epoch=1000)
     opt_state = opt.init(params)
-    step = jax.jit(make_train_step(cfg, model, opt), static_argnums=(4,), donate_argnums=(0, 1))
+    step = jax.jit(make_train_step(cfg, model, opt), donate_argnums=(0, 1))
     key = jax.random.PRNGKey(1)
     # two warmup calls: the first compiles; the second absorbs a one-time
     # ~minutes runtime stall observed after compiling very large executables

@@ -35,7 +35,7 @@ def main(n_steps: int = 12, n_sc: int = 8):
     params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
     opt = make_optimizer(cfg.optimizer, steps_per_epoch=1000)
     opt_state = opt.init(params)
-    step = jax.jit(make_train_step(cfg, model, opt), static_argnums=(4,), donate_argnums=(0, 1))
+    step = jax.jit(make_train_step(cfg, model, opt), donate_argnums=(0, 1))
 
     log = []
     key = jax.random.PRNGKey(1)

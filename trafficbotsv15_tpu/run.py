@@ -121,9 +121,11 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, t)
     params, opt_state = put_r(params), put_r(opt_state)
 
+    # epoch is a traced scalar (teacher-forcing schedules are traceable in it)
+    # so epoch changes do NOT trigger a recompile
     train_step = jax.jit(
-        make_train_step(cfg, model, opt), static_argnums=(4,),
-        in_shardings=(repl, repl, b_sh, repl), out_shardings=(repl, repl, repl),
+        make_train_step(cfg, model, opt),
+        in_shardings=(repl, repl, b_sh, repl, repl), out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )
     ckpt = CheckpointManager(ckpt_dir)
