@@ -123,11 +123,16 @@ def main():
     jax.block_until_ready(run_jit(params, batch, key))
     jax.block_until_ready(run_jit(params, batch, jax.random.fold_in(key, 999)))
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = run_jit(params, batch, jax.random.fold_in(key, i))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iters
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     n_steps = cfg.time_step_end - cfg.time_step_current  # 80 future steps
     agent_steps = n_sc * n_future * cfg.data.n_ag * n_steps

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 EXTREMELY_LARGE_DISTANCE = 1e10
@@ -54,12 +55,23 @@ def signed_distance_point_to_polygon(query: jnp.ndarray, poly: jnp.ndarray) -> j
     return jnp.where(is_inside, -min_dist, min_dist)
 
 
+def _select_corners(box: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """box [n_sc, n_box, 4, 2] selected at idx [n_sc, n_box, K] -> [n_sc, n_box, K, 2].
+
+    One-hot einsum instead of take_along_axis: per-pair corner gathers were
+    ~44% of the whole rollout on TPU (badly-tiled f32[·,2] scalar-memory
+    gather fusions in the profile); the 4-wide one-hot contraction is a
+    dense VPU op.
+    """
+    oh = jax.nn.one_hot(idx, 4, dtype=box.dtype)  # [n_sc, n_box, K, 4]
+    return jnp.einsum("sbkc,sbcx->sbkx", oh, box)
+
+
 def _downmost_edge(box: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """box: [n_sc, n_box, 4, 2] -> (downmost vertex idx [n_sc, n_box, 1], its edge dir [n_sc, n_box, 1, 2])."""
     idx = jnp.argmin(box[..., 1], axis=-1)[..., None]
-    start = jnp.take_along_axis(box, idx[..., None], axis=2)
-    end = jnp.take_along_axis(box, ((idx + 1) % 4)[..., None], axis=2)
-    edge = end - start
+    pts = _select_corners(box, jnp.concatenate([idx, (idx + 1) % 4], axis=-1))
+    edge = pts[:, :, 1:2] - pts[:, :, 0:1]
     return idx, edge / (jnp.linalg.norm(edge, axis=-1, keepdims=True) + 1e-12)
 
 
@@ -72,8 +84,8 @@ def minkowski_sum_boxes(box1: jnp.ndarray, box2: jnp.ndarray) -> jnp.ndarray:
     cond = (dir1[..., 0] * dir2[..., 1] - dir1[..., 1] * dir2[..., 0]) >= 0.0  # [n_sc, n_box, 1]
     o1 = jnp.where(cond, order2[None, None], order1[None, None])
     o2 = jnp.where(cond, order1[None, None], order2[None, None])
-    p1 = jnp.take_along_axis(box1, ((o1 + idx1) % 4)[..., None], axis=2)
-    p2 = jnp.take_along_axis(box2, ((o2 + idx2) % 4)[..., None], axis=2)
+    p1 = _select_corners(box1, (o1 + idx1) % 4)
+    p2 = _select_corners(box2, (o2 + idx2) % 4)
     return p1 + p2
 
 
