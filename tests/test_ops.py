@@ -308,3 +308,17 @@ def test_onehot_gather_scope():
             assert not rpe._ONEHOT_GATHER_SCOPE[0]
         assert rpe._ONEHOT_GATHER_SCOPE[0]
     assert not rpe._ONEHOT_GATHER_SCOPE[0]
+
+
+def test_get_tgt_knn_lazy_matches_eager():
+    from trafficbotsv15_tpu.ops.rpe import get_rel_pose, get_tgt_knn, get_tgt_knn_lazy
+
+    src = jnp.asarray(RNG.normal(size=(2, 16, 3)).astype(np.float32) * 30)
+    tgt = jnp.asarray(RNG.normal(size=(2, 64, 3)).astype(np.float32) * 30)
+    src_inv = jnp.asarray(RNG.random((2, 16)) < 0.2)
+    tgt_inv = jnp.asarray(RNG.random((2, 64)) < 0.2)
+    rel_pose, rel_dist = get_rel_pose(src, src_inv, tgt, tgt_inv)
+    i1, v1, r1 = get_tgt_knn(tgt_inv, rel_pose, rel_dist, 8, 100.0)
+    i2, v2, r2 = get_tgt_knn_lazy(src, src_inv, tgt, tgt_inv, 8, 100.0)
+    assert bool(jnp.all(i1 == i2)) and bool(jnp.all(v1 == v2))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)

@@ -29,7 +29,7 @@ from trafficbotsv15_tpu.models.tokens import MapTokens
 from trafficbotsv15_tpu.models.transformer import TransformerBlock
 from trafficbotsv15_tpu.ops.pooling import seq_pooling
 from trafficbotsv15_tpu.ops.pose_emb import PoseEmbConfig, apply_pose_emb, pose_emb_out_dim
-from trafficbotsv15_tpu.ops.rpe import gather_tgt, get_rel_dist, get_rel_pose, get_tgt_knn
+from trafficbotsv15_tpu.ops.rpe import gather_tgt, get_rel_dist, get_rel_pose, get_tgt_knn, get_tgt_knn_lazy
 from trafficbotsv15_tpu.ops.transform import pos2local, rad2local, rad2rot
 
 
@@ -116,11 +116,11 @@ class AgentEncoder(nn.Module):
         """KNN of one relation. Returns dict(tgt/idx, invalid, rpe)."""
         limit = self.dist_limit * self.cfg.k_dist_limit
         if self.pairwise_relative:
-            rel_pose, rel_dist = get_rel_pose(src_pose, src_invalid, tgt_pose, tgt_invalid)
+            # lazy variant: SE(2) localization only for the K winners
+            idx, invalid, rpe = get_tgt_knn_lazy(src_pose, src_invalid, tgt_pose, tgt_invalid, n_knn, limit)
         else:
-            rel_pose = None
             rel_dist = get_rel_dist(src_pose[..., :2], src_invalid, tgt_pose[..., :2], tgt_invalid)
-        idx, invalid, rpe = get_tgt_knn(tgt_invalid, rel_pose, rel_dist, n_knn, limit)
+            idx, invalid, rpe = get_tgt_knn(tgt_invalid, None, rel_dist, n_knn, limit)
         out = {"idx": idx, "invalid": invalid, "rpe": None}
         if self.pairwise_relative:
             out["rpe"] = apply_pose_emb(self.pose_rpe, rpe[..., :2], rpe[..., 2:3])
@@ -131,10 +131,10 @@ class AgentEncoder(nn.Module):
     def _knn_self(self, invalid, pose, n_knn):
         limit = self.dist_limit * self.cfg.k_dist_limit
         if self.pairwise_relative:
-            rel_pose, rel_dist = get_rel_pose(pose, invalid)
+            idx, knn_invalid, rpe = get_tgt_knn_lazy(pose, invalid, pose, invalid, n_knn, limit)
         else:
-            rel_pose, rel_dist = None, get_rel_dist(pose[..., :2], invalid)
-        idx, knn_invalid, rpe = get_tgt_knn(invalid, rel_pose, rel_dist, n_knn, limit)
+            rel_dist = get_rel_dist(pose[..., :2], invalid)
+            idx, knn_invalid, rpe = get_tgt_knn(invalid, None, rel_dist, n_knn, limit)
         out = {"idx": idx, "invalid": knn_invalid, "rpe": None}
         if self.pairwise_relative:
             out["rpe"] = apply_pose_emb(self.pose_rpe, rpe[..., :2], rpe[..., 2:3])

@@ -106,6 +106,51 @@ def get_tgt_knn(
     return idx_tgt.astype(jnp.int32), tgt_invalid_knn, rpe
 
 
+def get_tgt_knn_lazy(
+    src_pose: jnp.ndarray,
+    src_invalid: jnp.ndarray,
+    tgt_pose: jnp.ndarray,
+    tgt_invalid: jnp.ndarray,
+    n_tgt_knn: int,
+    dist_limit,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """get_rel_pose + get_tgt_knn fused, with SE(2) math on the K winners only.
+
+    Euclidean distance is rotation-invariant, so the KNN selection runs on
+    global-frame deltas ([n_src, n_tgt] subtract+norm, no sin/cos); the
+    local-frame relative poses are then computed for the K selected targets
+    — O(n_src*K) instead of O(n_src*n_tgt) rotation math, and the
+    [n_src, n_tgt, 3] rel_pose tensor is never materialized. Numerically
+    equivalent to the eager pair up to distance-tie ordering.
+
+    Returns (idx_tgt [n_sc,n_src,K] int32, tgt_invalid_knn [n_sc,n_src,K],
+    rpe [n_sc,n_src,K,3]).
+    """
+    src_pose = jax.lax.stop_gradient(src_pose)
+    tgt_pose = jax.lax.stop_gradient(tgt_pose)
+    src_xy, src_yaw = src_pose[..., :2], src_pose[..., 2]
+    tgt_xy = tgt_pose[..., :2]
+
+    rel_dist = jnp.linalg.norm(src_xy[:, :, None, :] - tgt_xy[:, None, :, :], axis=-1)
+    rel_dist = jnp.where(src_invalid[:, :, None] | tgt_invalid[:, None, :], _INF, rel_dist)
+
+    neg_dist_knn, idx_tgt = jax.lax.top_k(-rel_dist, n_tgt_knn)
+    dist_knn = -neg_dist_knn
+    invalid_expand = jnp.broadcast_to(tgt_invalid[:, None, :], rel_dist.shape)
+    tgt_invalid_knn = jnp.take_along_axis(invalid_expand, idx_tgt, axis=-1)
+    tgt_invalid_knn = tgt_invalid_knn | (dist_knn > dist_limit)
+
+    # plain gather regardless of onehot_gather_scope: everything here is under
+    # stop_gradient, so there is no backward scatter to avoid
+    n_sc, n_src, k = idx_tgt.shape
+    flat = idx_tgt.reshape(n_sc, n_src * k)
+    tgt_pose_knn = jnp.take_along_axis(tgt_pose, flat[..., None], axis=1).reshape(n_sc, n_src, k, 3)
+    local_xy = pos2local(tgt_pose_knn[..., :2], src_xy[:, :, None, :], rad2rot(src_yaw))
+    local_yaw = rad2local(tgt_pose_knn[..., 2], src_yaw, cast=False)
+    rpe = jnp.concatenate([local_xy, local_yaw[..., None]], axis=-1)
+    return idx_tgt.astype(jnp.int32), tgt_invalid_knn, rpe
+
+
 _ONEHOT_GATHER_SCOPE = [False]
 
 
