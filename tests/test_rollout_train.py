@@ -121,3 +121,32 @@ def test_training_forward_and_step(setup):
         p, s, m = train_step(p, s, batch, jax.random.PRNGKey(100 + i), 0)
         losses.append(float(m["training/loss"]))
     assert all(np.isfinite(losses))
+
+
+def test_wosac_collision_soa_matches_aos():
+    """SoA fast path == composing the AoS reference helpers."""
+    import numpy as np
+
+    from trafficbotsv15_tpu.sim.wosac_collision import (
+        COLLISION_DISTANCE_THRESHOLD, CORNER_ROUNDING_FACTOR, EXTREMELY_LARGE_DISTANCE,
+        check_collided_wosac, get_ag_bbox, minkowski_sum_boxes, signed_distance_point_to_polygon)
+
+    def check_aos(pose, ag_size, valid):
+        n_sc, n_ag, _ = pose.shape
+        shrink = jnp.minimum(ag_size[..., 0], ag_size[..., 1]) * CORNER_ROUNDING_FACTOR / 2.0
+        corners = get_ag_bbox(pose, ag_size[..., :2] - 2.0 * shrink[..., None])
+        ec = jnp.broadcast_to(corners[:, :, None], (n_sc, n_ag, n_ag, 4, 2)).reshape(n_sc, n_ag * n_ag, 4, 2)
+        ac = jnp.broadcast_to(corners[:, None], (n_sc, n_ag, n_ag, 4, 2)).reshape(n_sc, n_ag * n_ag, 4, 2)
+        mink = minkowski_sum_boxes(ec, -1.0 * ac)
+        sd = signed_distance_point_to_polygon(jnp.zeros_like(mink[:, :, 0]), mink).reshape(n_sc, n_ag, n_ag)
+        sd = sd - shrink[:, None, :] - shrink[:, :, None]
+        bad = ~(valid[:, :, None] & valid[:, None, :]) | jnp.eye(n_ag, dtype=bool)[None]
+        return jnp.min(jnp.where(bad, EXTREMELY_LARGE_DISTANCE, sd), axis=2) < COLLISION_DISTANCE_THRESHOLD
+
+    rng = np.random.default_rng(3)
+    n_sc, n_ag = 3, 24
+    pose = jnp.asarray(np.concatenate([rng.normal(size=(n_sc, n_ag, 2)) * 8,
+                                       rng.uniform(-np.pi, np.pi, (n_sc, n_ag, 1))], -1).astype(np.float32))
+    size = jnp.asarray(rng.uniform(1.0, 5.0, (n_sc, n_ag, 2)).astype(np.float32))
+    valid = jnp.asarray(rng.random((n_sc, n_ag)) < 0.9)
+    assert bool(jnp.all(check_aos(pose, size, valid) == check_collided_wosac(pose, size, valid)))

@@ -89,18 +89,85 @@ def minkowski_sum_boxes(box1: jnp.ndarray, box2: jnp.ndarray) -> jnp.ndarray:
     return p1 + p2
 
 
+def _downmost_edge_soa(x: jnp.ndarray, y: jnp.ndarray):
+    """x, y: [n_sc, 4, P] ccw corners -> (idx [n_sc, P], dir_x, dir_y [n_sc, P])."""
+    idx = jnp.argmin(y, axis=1)
+    oh = jax.nn.one_hot(idx, 4, dtype=x.dtype, axis=1)  # [n_sc, 4, P]
+    oh_next = jnp.roll(oh, 1, axis=1)  # one_hot((idx + 1) % 4)
+    sx = jnp.sum(oh * x, axis=1)
+    sy = jnp.sum(oh * y, axis=1)
+    ex = jnp.sum(oh_next * x, axis=1)
+    ey = jnp.sum(oh_next * y, axis=1)
+    dx, dy = ex - sx, ey - sy
+    norm = jnp.sqrt(dx * dx + dy * dy) + 1e-12
+    return idx, dx / norm, dy / norm
+
+
+def _minkowski_sum_soa(x1, y1, x2, y2):
+    """Minkowski sum in structure-of-arrays form.
+
+    x1, y1, x2, y2: [n_sc, 4, P] ccw corners of the two boxes per pair.
+    Returns octagon (px, py): [n_sc, 8, P].
+    """
+    order1 = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3])
+    order2 = jnp.asarray([0, 1, 1, 2, 2, 3, 3, 0])
+    idx1, d1x, d1y = _downmost_edge_soa(x1, y1)
+    idx2, d2x, d2y = _downmost_edge_soa(x2, y2)
+    cond = (d1x * d2y - d1y * d2x) >= 0.0  # [n_sc, P]
+    o1 = jnp.where(cond[:, None, :], order2[None, :, None], order1[None, :, None])  # [n_sc, 8, P]
+    o2 = jnp.where(cond[:, None, :], order1[None, :, None], order2[None, :, None])
+    sel1 = jax.nn.one_hot((o1 + idx1[:, None, :]) % 4, 4, dtype=x1.dtype, axis=2)  # [n_sc, 8, 4, P]
+    sel2 = jax.nn.one_hot((o2 + idx2[:, None, :]) % 4, 4, dtype=x1.dtype, axis=2)
+    px = jnp.sum(sel1 * x1[:, None], axis=2) + jnp.sum(sel2 * x2[:, None], axis=2)
+    py = jnp.sum(sel1 * y1[:, None], axis=2) + jnp.sum(sel2 * y2[:, None], axis=2)
+    return px, py
+
+
+def _signed_distance_origin_soa(px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Signed distance of the origin to ccw polygons (px, py [n_sc, n_pt, P])."""
+    sx, sy = jnp.roll(px, -1, axis=1), jnp.roll(py, -1, axis=1)
+    ex_, ey_ = sx - px, sy - py
+    length = jnp.sqrt(ex_ * ex_ + ey_ * ey_)
+    tx, ty = ex_ / (length + 1e-12), ey_ / (length + 1e-12)
+    nx, ny = -ty, tx
+    # vertex-to-query vectors with query = origin: v2q = -p
+    vert_dist = jnp.sqrt(px * px + py * py)
+    perp = nx * px + ny * py  # sum(-normal * v2q)
+    is_inside = jnp.all(perp <= 0, axis=1)
+    proj = -(tx * px + ty * py) / (length + 1e-12)
+    on_edge = (proj >= 0.0) & (proj <= 1.0)
+    edge_dist = jnp.where(on_edge, jnp.abs(perp), EXTREMELY_LARGE_DISTANCE)
+    min_dist = jnp.minimum(jnp.min(edge_dist, axis=1), jnp.min(vert_dist, axis=1))
+    return jnp.where(is_inside, -min_dist, min_dist)
+
+
 def check_collided_wosac(pose: jnp.ndarray, ag_size: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Exact WOSAC collision flag per agent (wosac_collision.py:196-239).
 
     pose [n_sc, n_ag, 3]; ag_size [n_sc, n_ag, >=2]; valid [n_sc, n_ag].
+
+    Runs in structure-of-arrays form with the pair axis minor: the per-pair
+    geometry is all elementwise math on [n_sc, n_corner, n_ag*n_ag] planes,
+    which tiles the TPU's (8, 128) vector registers fully. The AoS layout
+    ([n_pair, 4, 2] with a 2-wide minor dim) left 98% of the lanes idle and
+    made this check ~1/3 of the whole rollout.
     """
     n_sc, n_ag, _ = pose.shape
     shrink = jnp.minimum(ag_size[..., 0], ag_size[..., 1]) * CORNER_ROUNDING_FACTOR / 2.0
-    corners = get_ag_bbox(pose, ag_size[..., :2] - 2.0 * shrink[..., None])
-    eval_c = jnp.broadcast_to(corners[:, :, None], (n_sc, n_ag, n_ag, 4, 2)).reshape(n_sc, n_ag * n_ag, 4, 2)
-    all_c = jnp.broadcast_to(corners[:, None], (n_sc, n_ag, n_ag, 4, 2)).reshape(n_sc, n_ag * n_ag, 4, 2)
-    mink = minkowski_sum_boxes(eval_c, -1.0 * all_c)
-    sd = signed_distance_point_to_polygon(jnp.zeros_like(mink[:, :, 0]), mink).reshape(n_sc, n_ag, n_ag)
+    corners = get_ag_bbox(pose, ag_size[..., :2] - 2.0 * shrink[..., None])  # [n_sc, n_ag, 4, 2]
+    cx, cy = corners[..., 0], corners[..., 1]  # [n_sc, n_ag, 4]
+
+    def pair(a, as_eval):  # [n_sc, n_ag, 4] -> [n_sc, 4, n_ag*n_ag]
+        if as_eval:
+            out = jnp.broadcast_to(a[:, :, None, :], (n_sc, n_ag, n_ag, 4))
+        else:
+            out = jnp.broadcast_to(a[:, None, :, :], (n_sc, n_ag, n_ag, 4))
+        return jnp.moveaxis(out.reshape(n_sc, n_ag * n_ag, 4), 1, 2)
+
+    x1, y1 = pair(cx, True), pair(cy, True)
+    x2, y2 = -pair(cx, False), -pair(cy, False)  # second box negated (Minkowski difference)
+    px, py = _minkowski_sum_soa(x1, y1, x2, y2)
+    sd = _signed_distance_origin_soa(px, py).reshape(n_sc, n_ag, n_ag)
     sd = sd - shrink[:, None, :] - shrink[:, :, None]
     invalid = ~(valid[:, :, None] & valid[:, None, :]) | jnp.eye(n_ag, dtype=bool)[None]
     sd = jnp.where(invalid, EXTREMELY_LARGE_DISTANCE, sd)
