@@ -32,3 +32,6 @@ class TlTokens:
     knn_tgt_tl2mp: Optional[jnp.ndarray] = None  # [n_sc, n_tl, K_tl2mp, hidden_dim]
     knn_invalid_tl2mp: Optional[jnp.ndarray] = None
     rpe_tl2mp: Optional[jnp.ndarray] = None
+    # per-layer scenario-static projections for tf_tl2tlmp, hoisted out of the
+    # rollout scan: [(cross k+rpe_k / v+rpe_v, decoder self-attn rpe_k/v)]
+    static_kv: Optional[tuple] = None

@@ -157,6 +157,16 @@ class TrafficLightEncoder(nn.Module):
             if self.pairwise_relative:
                 kwargs["rpe_tl2tl"] = apply_pose_emb(self.pose_rpe, rpe_tl2tl[..., :2], rpe_tl2tl[..., 2:3])
                 kwargs["rpe_tl2mp"] = apply_pose_emb(self.pose_rpe, rpe_tl2mp[..., :2], rpe_tl2mp[..., 2:3])
+            # hoist the scenario-static attention projections out of the scan:
+            # cross-attn K/V(+rpe) of the static map targets and the decoder
+            # self-attn rpe_k/v are identical at every rollout step
+            kwargs["static_kv"] = tuple(self.tf_tl2tlmp(
+                None,
+                tgt=kwargs["knn_tgt_tl2mp"],
+                rpe=kwargs.get("rpe_tl2mp"),
+                decoder_rpe=kwargs.get("rpe_tl2tl"),
+                compute_static_kv=True,
+            ))
         return TlTokens(**kwargs)
 
     def _tl_feature(self, tl_state, attr, pose, deterministic):
@@ -205,16 +215,21 @@ class TrafficLightEncoder(nn.Module):
                 if step_invalid is not None:
                     temp_invalid = temp_invalid | step_invalid[None, None, :]
                 feat = self.temp_encoder(feat, temp_invalid, deterministic=deterministic)
+            # the static projections in tl_tokens.static_kv belong to the MAIN
+            # encoder's tf_tl2tlmp params; the latent posterior/prior encoders
+            # are separate instances and must not consume them
+            skv = None if called_by_latent_encoder else tl_tokens.static_kv
             feat = self.tf_tl2tlmp(
                 feat,
                 src_padding_mask=invalid,
-                tgt=tl_tokens.knn_tgt_tl2mp,
+                tgt=None if skv is not None else tl_tokens.knn_tgt_tl2mp,
                 tgt_padding_mask=tl_tokens.knn_invalid_tl2mp,
-                rpe=tl_tokens.rpe_tl2mp,
+                rpe=None if skv is not None else tl_tokens.rpe_tl2mp,
                 decoder_tgt_idx=tl_tokens.knn_idx_tl2tl,
                 decoder_tgt_padding_mask=tl_tokens.knn_invalid_tl2tl,
-                decoder_rpe=tl_tokens.rpe_tl2tl,
+                decoder_rpe=None if skv is not None else tl_tokens.rpe_tl2tl,
                 deterministic=deterministic,
+                static_kv=skv,
             )
             return feat
 

@@ -40,6 +40,16 @@ class AttentionRPE(nn.Module):
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def _rpe_kv(self, rpe):
+        """Project rpe -> (rpe_k, rpe_v), each [..., n_head, d_head]."""
+        d_head = self.d_model // self.n_head
+        w_rpe = self.param("rpe_proj_w", _xavier, (self.d_rpe, 2 * self.d_model), jnp.float32)
+        b_rpe = self.param("rpe_proj_b", nn.initializers.zeros, (2 * self.d_model,), jnp.float32)
+        rpe_proj = rpe.astype(self.dtype) @ w_rpe.astype(self.dtype) + b_rpe.astype(self.dtype)
+        rpe_k, rpe_v = jnp.split(rpe_proj, 2, axis=-1)
+        shape = rpe.shape[:-1] + (self.n_head, d_head)
+        return rpe_k.reshape(shape), rpe_v.reshape(shape)
+
     @nn.compact
     def __call__(
         self,
@@ -48,19 +58,50 @@ class AttentionRPE(nn.Module):
         tgt_padding_mask: Optional[jnp.ndarray] = None,  # bool, True = invalid
         rpe: Optional[jnp.ndarray] = None,  # [n_b, n_src, K, d_rpe]
         deterministic: bool = True,
-    ) -> jnp.ndarray:
-        n_b, n_src, _ = src.shape
+        kv_static=None,  # ((k+rpe_k, v+rpe_v)) from compute_static_kv: skip k/v+rpe projections
+        rpe_kv_static=None,  # (rpe_k, rpe_v) precomputed: skip the rpe projection only
+        compute_static_kv: bool = False,
+    ):
         d_head = self.d_model // self.n_head
         assert d_head * self.n_head == self.d_model
 
-        dense_q = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="q_proj")
-        dense_kv = nn.Dense(2 * self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="kv_proj")
+        if compute_static_kv:
+            # scenario-static K/V hoist: project the (static) targets and rpe once
+            # outside the rollout scan; per-step attention then reuses them.
+            if tgt is None:
+                # rpe-only precompute (dynamic K/V, static rpe)
+                assert rpe is not None and self.d_rpe > 0 and not self.apply_q_rpe
+                return self._rpe_kv(rpe)
+            assert tgt.ndim == 4
+            dense_kv = nn.Dense(2 * self.d_model, use_bias=self.bias, kernel_init=_xavier,
+                                dtype=self.dtype, name="kv_proj")
+            k, v = jnp.split(dense_kv(tgt), 2, axis=-1)
+            shape = tgt.shape[:-1] + (self.n_head, d_head)
+            k, v = k.reshape(shape), v.reshape(shape)
+            if rpe is not None:
+                assert self.d_rpe > 0 and not self.apply_q_rpe
+                rpe_k, rpe_v = self._rpe_kv(rpe)
+                k, v = k + rpe_k, v + rpe_v
+            return k, v
 
+        n_b, n_src, _ = src.shape
+        dense_q = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="q_proj")
         q = dense_q(src)
+        q = q.reshape(n_b, n_src, self.n_head, d_head)
+
+        if kv_static is not None:
+            out, _ = knn_attention(q, kv_static[0], kv_static[1], tgt_padding_mask)
+            if self.dropout_p > 0:
+                out = nn.Dropout(self.dropout_p, deterministic=deterministic, name="attn_drop")(out)
+            out = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="out_proj")(out)
+            if tgt_padding_mask is not None:
+                no_valid = jnp.all(tgt_padding_mask, axis=-1)
+                out = jnp.where(no_valid[..., None], 0.0, out)
+            return out
+
+        dense_kv = nn.Dense(2 * self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="kv_proj")
         kv = dense_kv(src if tgt is None else tgt)
         k, v = jnp.split(kv, 2, axis=-1)
-
-        q = q.reshape(n_b, n_src, self.n_head, d_head)
 
         if tgt is None or tgt.ndim == 3:
             # dense attention over a shared target set
@@ -91,24 +132,21 @@ class AttentionRPE(nn.Module):
                 k = k.reshape(n_b, n_src, n_knn, self.n_head, d_head)
                 v = v.reshape(n_b, n_src, n_knn, self.n_head, d_head)
                 rpe_q = rpe_k = rpe_v = None
-                if rpe is not None:
+                if rpe_kv_static is not None:
+                    rpe_k, rpe_v = rpe_kv_static
+                elif rpe is not None:
                     assert self.d_rpe > 0
-                    n_proj = 3 if self.apply_q_rpe else 2
                     if self.apply_q_rpe:
                         rpe_proj = nn.Dense(
-                            n_proj * self.d_model, use_bias=self.bias, kernel_init=_xavier,
+                            3 * self.d_model, use_bias=self.bias, kernel_init=_xavier,
                             dtype=self.dtype, name="rpe_proj",
                         )(rpe.astype(self.dtype))
-                        parts = jnp.split(rpe_proj, n_proj, axis=-1)
+                        parts = jnp.split(rpe_proj, 3, axis=-1)
                         rpe_q = parts[0].reshape(n_b, n_src, n_knn, self.n_head, d_head)
-                        parts = parts[1:]
+                        rpe_k = parts[1].reshape(n_b, n_src, n_knn, self.n_head, d_head)
+                        rpe_v = parts[2].reshape(n_b, n_src, n_knn, self.n_head, d_head)
                     else:
-                        w_rpe = self.param("rpe_proj_w", _xavier, (self.d_rpe, 2 * self.d_model), jnp.float32)
-                        b_rpe = self.param("rpe_proj_b", nn.initializers.zeros, (2 * self.d_model,), jnp.float32)
-                        rpe_proj = rpe.astype(self.dtype) @ w_rpe.astype(self.dtype) + b_rpe.astype(self.dtype)
-                        parts = jnp.split(rpe_proj, 2, axis=-1)
-                    rpe_k = parts[0].reshape(n_b, n_src, n_knn, self.n_head, d_head)
-                    rpe_v = parts[1].reshape(n_b, n_src, n_knn, self.n_head, d_head)
+                        rpe_k, rpe_v = self._rpe_kv(rpe)
                 out, _ = knn_attention(q, k, v, tgt_padding_mask, rpe_k=rpe_k, rpe_v=rpe_v, rpe_q=rpe_q)
 
         if self.dropout_p > 0:
@@ -152,7 +190,10 @@ class TransformerLayer(nn.Module):
         decoder_tgt_padding_mask: Optional[jnp.ndarray] = None,
         decoder_rpe: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        cross_kv_static=None,  # (k+rpe_k, v+rpe_v) for the cross-attn (static targets)
+        decoder_rpe_kv_static=None,  # (rpe_k, rpe_v) for the decoder self-attn
+        compute_static_kv: bool = False,
+    ):
         act = {"relu": nn.relu, "gelu": nn.gelu, "elu": nn.elu}[self.activation]
         attn_kw = dict(
             d_model=self.d_model,
@@ -166,6 +207,22 @@ class TransformerLayer(nn.Module):
         )
         drop = lambda name: nn.Dropout(self.dropout_p, deterministic=deterministic, name=name)
 
+        if compute_static_kv:
+            # hoist the scenario-static projections out of the rollout scan:
+            # cross-attn K/V(+rpe) of static targets, decoder self-attn rpe_k/v
+            cross_kv = None
+            if tgt is not None:
+                t = nn.LayerNorm(dtype=self.dtype, name="norm_tgt")(tgt)
+                cross_kv = AttentionRPE(**attn_kw, name="attn")(
+                    None, t, rpe=rpe, compute_static_kv=True
+                )
+            dec_rpe_kv = None
+            if self.mode == "dec_cross_attn" and decoder_rpe is not None:
+                dec_rpe_kv = AttentionRPE(**attn_kw, name="attn_src")(
+                    None, None, rpe=decoder_rpe, compute_static_kv=True
+                )
+            return cross_kv, dec_rpe_kv
+
         if self.mode == "dec_cross_attn":
             norm_src = nn.LayerNorm(dtype=self.dtype, name="norm_src")
             s = norm_src(src)
@@ -176,7 +233,8 @@ class TransformerLayer(nn.Module):
             else:
                 d_tgt = norm_src(d_tgt)
             s = AttentionRPE(**attn_kw, name="attn_src")(
-                s, d_tgt, tgt_padding_mask=d_mask, rpe=decoder_rpe, deterministic=deterministic
+                s, d_tgt, tgt_padding_mask=d_mask, rpe=decoder_rpe, deterministic=deterministic,
+                rpe_kv_static=decoder_rpe_kv_static,
             )
             if self.dropout_p > 0:
                 s = drop("drop_src")(s)
@@ -185,12 +243,15 @@ class TransformerLayer(nn.Module):
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         src2 = norm1(src)
         t = tgt
-        if t is None:
+        if cross_kv_static is not None:
+            t = None
+        elif t is None:
             tgt_padding_mask = src_padding_mask if tgt_padding_mask is None else tgt_padding_mask
         else:
             t = norm1(t) if self.mode == "enc_self_attn" else nn.LayerNorm(dtype=self.dtype, name="norm_tgt")(t)
         src2 = AttentionRPE(**attn_kw, name="attn")(
-            src2, t, tgt_padding_mask=tgt_padding_mask, rpe=rpe, deterministic=deterministic
+            src2, t, tgt_padding_mask=tgt_padding_mask, rpe=rpe, deterministic=deterministic,
+            kv_static=cross_kv_static,
         )
         if self.dropout_p > 0:
             src2 = drop("drop1")(src2)
@@ -241,11 +302,26 @@ class TransformerBlock(nn.Module):
         decoder_tgt_padding_mask: Optional[jnp.ndarray] = None,
         decoder_rpe: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> jnp.ndarray:
+        static_kv=None,  # per-layer [(cross_kv, dec_rpe_kv)] from compute_static_kv
+        compute_static_kv: bool = False,
+    ):
         assert self.mode in ("enc_self_attn", "enc_cross_attn", "dec_cross_attn")
+        if compute_static_kv:
+            # per-layer scenario-static projections (cross-attn K/V of static
+            # targets + decoder self-attn rpe_k/v); reused every rollout step
+            caches = []
+            for i in range(self.n_layer):
+                caches.append(TransformerLayer(
+                    d_model=self.d_model, n_head=self.n_head, k_feedforward=self.k_feedforward,
+                    dropout_p=self.dropout_p, bias=self.bias, activation=self.activation,
+                    mode=self.mode, d_rpe=self.d_rpe, apply_q_rpe=self.apply_q_rpe,
+                    use_pallas=self.use_pallas, dtype=self.dtype, name=f"layer{i}",
+                )(None, tgt=tgt, rpe=rpe, decoder_rpe=decoder_rpe, compute_static_kv=True))
+            return caches
         for i in range(self.n_layer):
             _tgt = gather_tgt(src, tgt_idx) if tgt_idx is not None else tgt
             _dec_tgt = gather_tgt(src, decoder_tgt_idx) if decoder_tgt_idx is not None else None
+            _ckv, _drkv = static_kv[i] if static_kv is not None else (None, None)
             src = TransformerLayer(
                 d_model=self.d_model,
                 n_head=self.n_head,
@@ -269,6 +345,8 @@ class TransformerBlock(nn.Module):
                 decoder_tgt_padding_mask=decoder_tgt_padding_mask,
                 decoder_rpe=decoder_rpe,
                 deterministic=deterministic,
+                cross_kv_static=_ckv,
+                decoder_rpe_kv_static=_drkv,
             )
         if self.out_layernorm:
             src = nn.LayerNorm(dtype=self.dtype, name="out_ln")(src)
