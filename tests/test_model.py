@@ -133,3 +133,22 @@ def test_gradients_flow(setup):
     g = jax.grad(loss_fn)(params)
     gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_tl_static_kv_equivalence(setup):
+    """Per-step TL forward with hoisted static K/V == full recompute path."""
+    import dataclasses
+
+    cfg, pp, model, params, step_args = setup
+
+    def run(m, strip_cache):
+        mp_tokens = m.encode_map(pp.mp_valid, pp.mp_attr, pp.mp_pose, pp.mp_type)
+        tl_tokens = m.precompute_tl(pp.tl_valid, pp.tl_attr, pp.tl_pose, mp_tokens)
+        if strip_cache:
+            tl_tokens = dataclasses.replace(tl_tokens, static_kv=None)
+        return m.step(tl_tokens=tl_tokens, mp_tokens=mp_tokens, **step_args)
+
+    fast = model.apply({"params": params}, False, method=run)
+    slow = model.apply({"params": params}, True, method=run)
+    a, b = fast[1], slow[1]  # tl logits
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
