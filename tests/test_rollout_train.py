@@ -150,3 +150,24 @@ def test_wosac_collision_soa_matches_aos():
     size = jnp.asarray(rng.uniform(1.0, 5.0, (n_sc, n_ag, 2)).astype(np.float32))
     valid = jnp.asarray(rng.random((n_sc, n_ag)) < 0.9)
     assert bool(jnp.all(check_aos(pose, size, valid) == check_collided_wosac(pose, size, valid)))
+
+
+def test_navi_reprediction_rollout():
+    """pred_navi_after_reached: in-scan navi re-prediction (waymo_motion.py:292-308)."""
+    import dataclasses
+
+    from trafficbotsv15_tpu.config import tiny_config
+    from trafficbotsv15_tpu.data.synthetic import make_batch
+    from trafficbotsv15_tpu.train.evaluation import reactive_replay
+    from trafficbotsv15_tpu.train.pipeline import build_model, init_params
+
+    cfg = dataclasses.replace(tiny_config(), pred_navi_after_reached=True)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=1, seed=3).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
+    _, buffer, *_ = reactive_replay(cfg, model, params, batch, jax.random.PRNGKey(1), check_level=1)
+    n_step = cfg.time_step_end
+    assert buffer.navi_log_prob.shape[-1] == 1 + n_step
+    assert buffer.navi_log_prob_valid.shape[-1] == 1 + n_step
+    assert bool(jnp.all(jnp.isfinite(buffer.navi_log_prob)))
+    assert bool(jnp.all(jnp.isfinite(buffer.pred_pose)))

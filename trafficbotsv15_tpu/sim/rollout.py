@@ -46,6 +46,9 @@ class SimCarry:
     hist_tl_state: jnp.ndarray  # [n_sc, n_tl, W, 5]
     hist_step_invalid: jnp.ndarray  # [W] bool (True = slot not yet filled)
     rule_state: RuleCheckerState
+    navi: Optional[jnp.ndarray]  # [n_sc, n_ag(, navi_dim)] current navigation target
+    navi_valid: jnp.ndarray  # [n_sc, n_ag] (invalidated once reached, dynamics.py:183-204)
+    dyn_statics: Optional[RuleCheckerStatics]  # carried only with pred_navi_after_reached
     rnn_hidden: Optional[jnp.ndarray]
     tl_rnn_hidden: Optional[jnp.ndarray]
     key: jax.Array
@@ -135,6 +138,10 @@ def rollout(
     # hook, waymo_motion.py:150-152/237-238): precomputed per-step actions
     player_valid: Optional[jnp.ndarray] = None,  # [n_sc, n_ag, n_step_roll]
     player_action: Optional[jnp.ndarray] = None,  # [n_sc, n_ag, n_step_roll, 2]
+    # map arrays for navi re-prediction (required iff cfg.pred_navi_after_reached:
+    # dest statics are re-derived when an agent gets a new dest,
+    # traffic_rule_checker.py:321-340)
+    navi_update_inputs: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> RolloutBuffer:
     """Run the closed-loop simulation from step 1 to step_end inclusive.
 
@@ -194,6 +201,11 @@ def rollout(
         rnn_hidden0 = jnp.zeros((n_layer_gru, n_sc, n_ag, h), jnp.float32)
         tl_rnn_hidden0 = jnp.zeros((cfg.model.tl_state_predictor.n_layer, n_sc, n_tl, h), jnp.float32)
 
+    navi_mode = cfg.model.navi_mode
+    repredict_navi = bool(cfg.pred_navi_after_reached) and navi_mode in ("dest", "goal")
+    if repredict_navi:
+        assert navi_update_inputs is not None, "pred_navi_after_reached needs map arrays"
+
     # ---- initial carry: state at step 0 (dynamics.py:29-64)
     carry = SimCarry(
         valid=gt_valid[:, :, 0],
@@ -207,6 +219,9 @@ def rollout(
         hist_tl_state=jnp.zeros((n_sc, n_tl, W, 5), jnp.float32),
         hist_step_invalid=jnp.ones((W,), bool),
         rule_state=rule_state0,
+        navi=ag_navi,
+        navi_valid=ag_navi_valid,
+        dyn_statics=rule_statics if repredict_navi else None,
         rnn_hidden=rnn_hidden0,
         tl_rnn_hidden=tl_rnn_hidden0,
         key=key,
@@ -215,7 +230,7 @@ def rollout(
     tf_cfg = cfg.teacher_forcing_training  # thresholds only; mask already precomputed
 
     def step_fn(c: SimCarry, x) -> Tuple[SimCarry, Any]:
-        key, k_action, k_drop = jax.random.split(c.key, 3)
+        key, k_action, k_drop, k_navi = jax.random.split(c.key, 4)
 
         # push current (post-override) state into the rolling window — detached
         # when training_detach_model_input (encoder input only).
@@ -245,8 +260,8 @@ def rollout(
             ag_type=ag_type,
             ag_latent=ag_latent,
             ag_latent_valid=ag_latent_valid,
-            ag_navi=ag_navi,
-            ag_navi_valid=ag_navi_valid,
+            ag_navi=c.navi,
+            ag_navi_valid=c.navi_valid,
             tl_tokens=tl_tokens,
             mp_tokens=mp_tokens,
             rnn_hidden=c.rnn_hidden,
@@ -282,7 +297,7 @@ def rollout(
 
         # rule checking on the pre-override prediction (waymo_motion.py:249-251)
         rule_state, violations = check_rules(
-            rule_statics, c.rule_state,
+            c.dyn_statics if repredict_navi else rule_statics, c.rule_state,
             jax.lax.stop_gradient(pred_valid), jax.lax.stop_gradient(pred_pose),
             jax.lax.stop_gradient(pred_motion), new_tl_state,
             check_level,
@@ -309,6 +324,47 @@ def rollout(
         disabled = c.disabled | disable
         ov_valid = ov_valid & ~disable
 
+        # navi bookkeeping (dynamics.py:183-222): invalidate once reached;
+        # optionally re-predict a fresh navi for reached agents
+        # (waymo_motion.py:292-308)
+        if navi_mode == "dest":
+            navi_reached = violations["dest_reached_this_step"]
+        elif navi_mode == "goal":
+            navi_reached = violations["goal_reached_this_step"]
+        else:
+            navi_reached = jnp.zeros_like(c.valid)
+        navi, navi_valid = c.navi, c.navi_valid & ~navi_reached
+        dyn_statics = c.dyn_statics
+        if repredict_navi:
+            navi_dist = model.apply(
+                {"params": params}, hist_valid, ag_attr, hist_motion, hist_pose, ag_type,
+                mp_tokens, deterministic=not train, method="predict_navi", rngs=rngs,
+            )
+            navi_sample = navi_dist.sample(k_navi, False)
+            navi_lp = navi_dist.log_prob(jax.lax.stop_gradient(navi_sample))
+            m = navi_reached if navi.ndim == 2 else navi_reached[..., None]
+            navi = jnp.where(m, navi_sample.astype(navi.dtype), navi)
+            navi_valid = navi_valid | navi_reached
+            # rule_checker.update_navi (traffic_rule_checker.py:321-340)
+            if navi_mode == "dest":
+                from trafficbotsv15_tpu.sim.rule_checker import dest_statics_from_navi
+
+                ds = dest_statics_from_navi(navi, **navi_update_inputs)
+                upd = jax.tree_util.tree_map(
+                    lambda new_v, old_v: jnp.where(
+                        navi_reached.reshape(navi_reached.shape + (1,) * (new_v.ndim - 2)), new_v, old_v
+                    ),
+                    ds, {k: getattr(dyn_statics, k) for k in ds},
+                )
+                dyn_statics = dataclasses.replace(dyn_statics, **upd)
+                rule_state = dataclasses.replace(
+                    rule_state, dest_reached=rule_state.dest_reached & ~navi_reached)
+            else:
+                new_goal = jnp.where(navi_reached[..., None], navi, dyn_statics.ag_goal)
+                dyn_statics = dataclasses.replace(dyn_statics, ag_goal=new_goal)
+                rule_state = dataclasses.replace(
+                    rule_state, goal_reached=rule_state.goal_reached & ~navi_reached)
+
         out = dict(
             pred_valid=pred_valid,
             pred_pose=pred_pose,
@@ -321,6 +377,9 @@ def rollout(
             violation=violations,
             tl_state=new_tl_state,
         )
+        if repredict_navi:
+            out["navi_log_prob"] = jnp.where(navi_reached, navi_lp, 0.0)
+            out["navi_log_prob_valid"] = navi_reached
         new_carry = SimCarry(
             valid=ov_valid,
             disabled=disabled,
@@ -333,6 +392,9 @@ def rollout(
             hist_tl_state=hist_tl,
             hist_step_invalid=hist_step_invalid,
             rule_state=rule_state,
+            navi=navi,
+            navi_valid=navi_valid,
+            dyn_statics=dyn_statics,
             rnn_hidden=rnn_hidden,
             tl_rnn_hidden=tl_rnn_hidden,
             key=key,
@@ -364,6 +426,12 @@ def rollout(
         diffbar_reward={k: to_buffer(v) for k, v in outs["diffbar_reward"].items()},
         violation={k: to_buffer(v) for k, v in outs["violation"].items()},
         tl_state=to_buffer(outs["tl_state"]),
-        navi_log_prob=ag_navi_log_prob[..., None],
-        navi_log_prob_valid=ag_navi_valid[..., None],
+        navi_log_prob=(
+            jnp.concatenate([ag_navi_log_prob[..., None], to_buffer(outs["navi_log_prob"])], axis=-1)
+            if repredict_navi else ag_navi_log_prob[..., None]
+        ),
+        navi_log_prob_valid=(
+            jnp.concatenate([ag_navi_valid[..., None], to_buffer(outs["navi_log_prob_valid"])], axis=-1)
+            if repredict_navi else ag_navi_valid[..., None]
+        ),
     )

@@ -78,6 +78,24 @@ def _compact_segments(valid: jnp.ndarray, budget: int, *arrays):
     return (new_valid,) + tuple(outs)
 
 
+def dest_statics_from_navi(ag_dest, mp_valid, mp_type, mp_pos, mp_dir):
+    """Dest-derived per-agent statics; re-run when navi is re-predicted
+    (traffic_rule_checker.py:321-340 update_navi)."""
+    mp_pos, mp_dir = mp_pos[..., :2], mp_dir[..., :2]
+    idx = jnp.clip(ag_dest, 0, mp_valid.shape[1] - 1).astype(jnp.int32)
+    dest_type = jnp.take_along_axis(mp_type, idx[..., None], axis=1)
+    dest_dir = jnp.take_along_axis(mp_dir, idx[:, :, None, None], axis=1)
+    dest_dir = dest_dir / (jnp.linalg.norm(dest_dir, axis=-1, keepdims=True) + 1e-12)
+    thresh = jnp.ones(ag_dest.shape[:2]) * 50.0 * (1.0 - dest_type[:, :, 4] * 0.8)
+    return dict(
+        dest_invalid=~jnp.take_along_axis(mp_valid, idx[:, :, None], axis=1),
+        dest_type=dest_type,
+        dest_pos=jnp.take_along_axis(mp_pos, idx[:, :, None, None], axis=1),
+        dest_dir=dest_dir,
+        dest_thresh_pos=thresh,
+    )
+
+
 def init_rule_checker(
     mp_boundary, mp_valid, mp_type, mp_pos, mp_dir, ag_type, ag_size,
     tl_valid, tl_pose, ag_goal=None, ag_dest=None, collision_size_scale: float = 1.1,
@@ -105,22 +123,7 @@ def init_rule_checker(
 
     dest_kwargs = dict(dest_invalid=None, dest_type=None, dest_pos=None, dest_dir=None, dest_thresh_pos=None)
     if ag_dest is not None:
-        idx = jnp.clip(ag_dest, 0, mp_valid.shape[1] - 1).astype(jnp.int32)
-        take = lambda arr: jnp.take_along_axis(
-            arr, idx.reshape(n_sc, n_ag, *([1] * (arr.ndim - 2))), axis=1
-        )
-        dest_type = jnp.take_along_axis(mp_type, idx[..., None], axis=1)
-        dest_dir = jnp.take_along_axis(mp_dir, idx[:, :, None, None], axis=1)
-        dest_dir = dest_dir / (jnp.linalg.norm(dest_dir, axis=-1, keepdims=True) + 1e-12)
-        thresh = jnp.ones((n_sc, n_ag)) * 50.0 * (1.0 - dest_type[:, :, 4] * 0.8)
-        dest_kwargs = dict(
-            dest_invalid=~jnp.take_along_axis(mp_valid, idx[:, :, None], axis=1),
-            dest_type=dest_type,
-            dest_pos=jnp.take_along_axis(mp_pos, idx[:, :, None, None], axis=1),
-            dest_dir=dest_dir,
-            dest_thresh_pos=thresh,
-        )
-        del take
+        dest_kwargs = dest_statics_from_navi(ag_dest, mp_valid, mp_type, mp_pos, mp_dir)
 
     statics = RuleCheckerStatics(
         mp_boundary=mp_boundary,

@@ -19,6 +19,7 @@ from trafficbotsv15_tpu.data.preprocessing import PreProcessedBatch, pre_process
 from trafficbotsv15_tpu.models.traffic_bots import TrafficBots
 from trafficbotsv15_tpu.sim import rollout as rollout_lib
 from trafficbotsv15_tpu.sim.rule_checker import init_rule_checker
+from trafficbotsv15_tpu.train.pipeline import _navi_update_inputs
 from trafficbotsv15_tpu.sim.teacher_forcing import build_forcing_masks
 
 
@@ -82,6 +83,7 @@ def reactive_replay(
         ag_forcing=ag_forcing, tl_forcing=tl_forcing,
         rule_statics=statics, rule_state0=state0, check_level=check_level,
         key=k_roll, deterministic_action=True, train=False,
+        navi_update_inputs=_navi_update_inputs(cfg, batch),
     )
     return pp, buffer, navi_pred, latent_post, latent_prior
 
@@ -168,6 +170,7 @@ def joint_future_pred(
         ag_forcing=ag_forcing, tl_forcing=tl_forcing,
         rule_statics=statics, rule_state0=state0, check_level=check_level,
         key=k_roll, deterministic_action=True, train=False,
+        navi_update_inputs=_navi_update_inputs(cfg, batch, rep),
     )
     buffer = rollout_lib.compute_log_prob(buffer, latent_log_prob)
     return pp, buffer.flatten_joint_future(k)

@@ -161,6 +161,7 @@ def training_forward(
             ag_forcing=ag_forcing, tl_forcing=tl_forcing,
             rule_statics=rule_statics, rule_state0=rule_state0, check_level=0,
             key=k_roll, deterministic_action=cfg.training_deterministic_action, train=True,
+            navi_update_inputs=_navi_update_inputs(cfg, batch),
         )
 
     loss, metrics = training_loss(
@@ -168,6 +169,17 @@ def training_forward(
         latent_post, latent_prior, key=k_loss,
     )
     return loss, metrics
+
+
+def _navi_update_inputs(cfg: ExperimentCfg, batch, rep=None):
+    """Map arrays for in-scan navi re-prediction (None unless enabled)."""
+    if not cfg.pred_navi_after_reached:
+        return None
+    r = rep if rep is not None else (lambda x: x)
+    return dict(
+        mp_valid=r(batch["map/valid"]), mp_type=r(batch["map/type"]).astype(bool),
+        mp_pos=r(batch["map/pos"]), mp_dir=r(batch["map/dir"]),
+    )
 
 
 def make_train_step(cfg: ExperimentCfg, model: TrafficBots, optimizer):
