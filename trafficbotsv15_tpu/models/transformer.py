@@ -61,6 +61,7 @@ class AttentionRPE(nn.Module):
         kv_static=None,  # ((k+rpe_k, v+rpe_v)) from compute_static_kv: skip k/v+rpe projections
         rpe_kv_static=None,  # (rpe_k, rpe_v) precomputed: skip the rpe projection only
         compute_static_kv: bool = False,
+        tgt_idx: Optional[jnp.ndarray] = None,  # [n_b, n_src, K] self-attn KNN: project src then gather
     ):
         d_head = self.d_model // self.n_head
         assert d_head * self.n_head == self.d_model
@@ -100,7 +101,15 @@ class AttentionRPE(nn.Module):
             return out
 
         dense_kv = nn.Dense(2 * self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="kv_proj")
-        kv = dense_kv(src if tgt is None else tgt)
+        if tgt_idx is not None:
+            # KNN self-attention: project the n_src tokens once, THEN gather —
+            # row-wise ops commute with the gather, so this is bit-identical to
+            # gather-then-project but runs the matmul on K x fewer rows
+            assert tgt is None
+            kv = gather_tgt(dense_kv(src), tgt_idx)  # [n_b, n_src, K, 2d]
+            tgt = kv  # mark the KNN (4D) layout for the branch below
+        else:
+            kv = dense_kv(src if tgt is None else tgt)
         k, v = jnp.split(kv, 2, axis=-1)
 
         if tgt is None or tgt.ndim == 3:
@@ -193,6 +202,8 @@ class TransformerLayer(nn.Module):
         cross_kv_static=None,  # (k+rpe_k, v+rpe_v) for the cross-attn (static targets)
         decoder_rpe_kv_static=None,  # (rpe_k, rpe_v) for the decoder self-attn
         compute_static_kv: bool = False,
+        tgt_idx: Optional[jnp.ndarray] = None,  # KNN self-attn: project-then-gather
+        decoder_tgt_idx: Optional[jnp.ndarray] = None,
     ):
         act = {"relu": nn.relu, "gelu": nn.gelu, "elu": nn.elu}[self.activation]
         attn_kw = dict(
@@ -228,13 +239,15 @@ class TransformerLayer(nn.Module):
             s = norm_src(src)
             d_tgt = decoder_tgt
             d_mask = decoder_tgt_padding_mask
-            if d_tgt is None:
+            if d_tgt is None and decoder_tgt_idx is None:
                 d_mask = src_padding_mask
-            else:
+            elif d_tgt is not None:
+                # LN is row-wise so norm(gathered) == gather(normed); the idx
+                # path below exploits the same commutation for the projection
                 d_tgt = norm_src(d_tgt)
             s = AttentionRPE(**attn_kw, name="attn_src")(
                 s, d_tgt, tgt_padding_mask=d_mask, rpe=decoder_rpe, deterministic=deterministic,
-                rpe_kv_static=decoder_rpe_kv_static,
+                rpe_kv_static=decoder_rpe_kv_static, tgt_idx=decoder_tgt_idx,
             )
             if self.dropout_p > 0:
                 s = drop("drop_src")(s)
@@ -245,13 +258,13 @@ class TransformerLayer(nn.Module):
         t = tgt
         if cross_kv_static is not None:
             t = None
-        elif t is None:
+        elif t is None and tgt_idx is None:
             tgt_padding_mask = src_padding_mask if tgt_padding_mask is None else tgt_padding_mask
-        else:
+        elif t is not None:
             t = norm1(t) if self.mode == "enc_self_attn" else nn.LayerNorm(dtype=self.dtype, name="norm_tgt")(t)
         src2 = AttentionRPE(**attn_kw, name="attn")(
             src2, t, tgt_padding_mask=tgt_padding_mask, rpe=rpe, deterministic=deterministic,
-            kv_static=cross_kv_static,
+            kv_static=cross_kv_static, tgt_idx=tgt_idx,
         )
         if self.dropout_p > 0:
             src2 = drop("drop1")(src2)
@@ -319,8 +332,6 @@ class TransformerBlock(nn.Module):
                 )(None, tgt=tgt, rpe=rpe, decoder_rpe=decoder_rpe, compute_static_kv=True))
             return caches
         for i in range(self.n_layer):
-            _tgt = gather_tgt(src, tgt_idx) if tgt_idx is not None else tgt
-            _dec_tgt = gather_tgt(src, decoder_tgt_idx) if decoder_tgt_idx is not None else None
             _ckv, _drkv = static_kv[i] if static_kv is not None else (None, None)
             src = TransformerLayer(
                 d_model=self.d_model,
@@ -338,15 +349,16 @@ class TransformerBlock(nn.Module):
             )(
                 src,
                 src_padding_mask=src_padding_mask,
-                tgt=_tgt,
+                tgt=tgt,
                 tgt_padding_mask=tgt_padding_mask,
                 rpe=rpe,
-                decoder_tgt=_dec_tgt,
                 decoder_tgt_padding_mask=decoder_tgt_padding_mask,
                 decoder_rpe=decoder_rpe,
                 deterministic=deterministic,
                 cross_kv_static=_ckv,
                 decoder_rpe_kv_static=_drkv,
+                tgt_idx=tgt_idx,
+                decoder_tgt_idx=decoder_tgt_idx,
             )
         if self.out_layernorm:
             src = nn.LayerNorm(dtype=self.dtype, name="out_ln")(src)
