@@ -1,47 +1,25 @@
-"""Pallas KNARPE kernel vs XLA reference (interpret mode on CPU)."""
+"""Pallas KNARPE kernel vs XLA reference (interpret mode on CPU).
+
+The same kernels run compiled by Mosaic on TPU (validated on-device, see
+docs/PERF.md); interpret mode checks the math, including the fused backward.
+"""
+
+import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.experimental import pallas as pl
 
 from trafficbotsv15_tpu.ops.pallas_knarpe import (
-    _kernel,
+    knarpe_attention,
     knarpe_attention_reference,
 )
-import functools
 
 RNG = np.random.default_rng(0)
 
 
-def _interpret_call(q, k, v, rpe, invalid, w, b, n_head, s_tile):
-    n_b, n_s, n_knn, d_model = k.shape
-    r = rpe.shape[-1]
-    grid = (n_b, pl.cdiv(n_s, s_tile))
-    from jax.experimental.pallas import tpu as pltpu
-
-    return pl.pallas_call(
-        functools.partial(_kernel, n_head=n_head),
-        out_shape=jax.ShapeDtypeStruct((n_b, n_s, d_model), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, s_tile, d_model), lambda bb, ss: (bb, ss, 0)),
-            pl.BlockSpec((1, s_tile, n_knn, d_model), lambda bb, ss: (bb, ss, 0, 0)),
-            pl.BlockSpec((1, s_tile, n_knn, d_model), lambda bb, ss: (bb, ss, 0, 0)),
-            pl.BlockSpec((1, s_tile, n_knn, r), lambda bb, ss: (bb, ss, 0, 0)),
-            pl.BlockSpec((1, s_tile, n_knn), lambda bb, ss: (bb, ss, 0)),
-            pl.BlockSpec((r, 2 * d_model), lambda bb, ss: (0, 0)),
-            pl.BlockSpec((2 * d_model,), lambda bb, ss: (0,)),
-        ],
-        out_specs=pl.BlockSpec((1, s_tile, d_model), lambda bb, ss: (bb, ss, 0)),
-        interpret=True,
-    )(q, k, v, rpe, invalid, w, b)
-
-
-@pytest.mark.parametrize("n_s,s_tile", [(8, 4), (16, 8)])
-def test_kernel_matches_reference(n_s, s_tile):
-    n_b, n_knn, n_head, d_head, r = 2, 4, 2, 8, 16
+def _make_inputs(n_b, n_s, n_knn, n_head, d_head, r):
     d_model = n_head * d_head
     q = jnp.asarray(RNG.normal(size=(n_b, n_s, d_model)).astype(np.float32))
     k = jnp.asarray(RNG.normal(size=(n_b, n_s, n_knn, d_model)).astype(np.float32))
@@ -51,9 +29,34 @@ def test_kernel_matches_reference(n_s, s_tile):
     invalid = invalid.at[0, 0].set(True)  # all-invalid row
     w = jnp.asarray(RNG.normal(size=(r, 2 * d_model)).astype(np.float32)) * 0.1
     b = jnp.asarray(RNG.normal(size=(2 * d_model,)).astype(np.float32)) * 0.1
+    return q, k, v, rpe, invalid, w, b
+
+
+@pytest.mark.parametrize("n_s,s_tile", [(8, 4), (16, 8), (10, 4)])
+def test_forward_matches_reference(n_s, s_tile):
+    n_b, n_knn, n_head, d_head, r = 2, 4, 2, 8, 16
+    q, k, v, rpe, invalid, w, b = _make_inputs(n_b, n_s, n_knn, n_head, d_head, r)
 
     expected = knarpe_attention_reference(q, k, v, rpe, invalid, w, b, n_head)
-    got = _interpret_call(q, k, v, rpe, invalid, w, b, n_head, s_tile)
+    got = knarpe_attention(q, k, v, rpe, invalid, w, b, n_head, s_tile, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4)
     # all-invalid row -> zeros
     np.testing.assert_allclose(np.asarray(got)[0, 0], 0.0)
+
+
+def test_backward_matches_reference():
+    n_b, n_s, n_knn, n_head, d_head, r = 2, 8, 4, 2, 8, 16
+    q, k, v, rpe, invalid, w, b = _make_inputs(n_b, n_s, n_knn, n_head, d_head, r)
+    g = jnp.asarray(RNG.normal(size=(n_b, n_s, n_head * d_head)).astype(np.float32))
+
+    def loss_pl(q, k, v, rpe, w, b):
+        return jnp.vdot(knarpe_attention(q, k, v, rpe, invalid, w, b, n_head, 4, True), g)
+
+    def loss_ref(q, k, v, rpe, w, b):
+        out = knarpe_attention_reference(q, k, v, rpe, invalid, w, b, n_head)
+        return jnp.vdot(out.reshape(g.shape), g)
+
+    grads_pl = jax.grad(loss_pl, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, rpe, w, b)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, rpe, w, b)
+    for name, a, e in zip("q k v rpe w b".split(), grads_pl, grads_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4, err_msg=name)

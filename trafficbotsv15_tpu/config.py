@@ -26,7 +26,7 @@ class TransformerCfg:
     activation: str = "relu"
     out_layernorm: bool = False
     apply_q_rpe: bool = False
-    use_pallas: bool = False  # fused Pallas KNARPE kernel on TPU
+    use_pallas: bool = False  # v1 KNARPE kernel: measured slower than XLA in-scan (docs/PERF.md)
 
 
 @dataclasses.dataclass(frozen=True)

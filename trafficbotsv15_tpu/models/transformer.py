@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -124,18 +125,29 @@ class AttentionRPE(nn.Module):
         else:
             # per-source KNN targets [n_b, n_src, K, d]
             n_knn = tgt.shape[2]
-            if rpe is not None and not self.apply_q_rpe and self.use_pallas:
-                from trafficbotsv15_tpu.ops.pallas_knarpe import knarpe_attention
+            from trafficbotsv15_tpu.ops.pallas_knarpe import (
+                knarpe_attention,
+                knarpe_attention_reference,
+                pallas_available,
+            )
 
+            if rpe is not None and not self.apply_q_rpe and self.use_pallas and pallas_available():
                 assert self.d_rpe > 0
                 w_rpe = self.param("rpe_proj_w", _xavier, (self.d_rpe, 2 * self.d_model), jnp.float32)
                 b_rpe = self.param("rpe_proj_b", nn.initializers.zeros, (2 * self.d_model,), jnp.float32)
                 inv = tgt_padding_mask
                 if inv is None:
                     inv = jnp.zeros((n_b, n_src, n_knn), bool)
-                out = knarpe_attention(
+                n_head = self.n_head
+                # platform_dependent: Mosaic kernel on TPU, identical-math XLA
+                # everywhere else (CPU param-init trace, virtual-mesh tests)
+                out = jax.lax.platform_dependent(
                     q.reshape(n_b, n_src, self.d_model), k, v, rpe.astype(self.dtype), inv,
-                    w_rpe.astype(self.dtype), b_rpe.astype(self.dtype), self.n_head,
+                    w_rpe.astype(self.dtype), b_rpe.astype(self.dtype),
+                    tpu=lambda *a: knarpe_attention(*a, n_head),
+                    default=lambda *a: knarpe_attention_reference(*a, n_head).reshape(
+                        n_b, n_src, self.d_model
+                    ),
                 )
             else:
                 k = k.reshape(n_b, n_src, n_knn, self.n_head, d_head)

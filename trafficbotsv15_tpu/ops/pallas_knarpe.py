@@ -1,4 +1,4 @@
-"""Fused Pallas KNARPE attention kernel.
+"""Fused Pallas KNARPE attention kernel (forward + backward).
 
 The hot op of the HPTR backbone (SURVEY §3 hot-loop #4): per-source KNN
 attention with relative-pose-embedding biases,
@@ -14,9 +14,16 @@ scale). This kernel keeps the projection output in VMEM: per grid step it
 loads a tile of sources with their gathered K/V and raw rpe, projects on the
 MXU and finishes attention without round-tripping to HBM.
 
-Backward pass: jax.custom_vjp re-runs the XLA reference implementation under
-jax.vjp (recompute strategy) — forward speed/memory win, bit-identical
-gradients.
+Mosaic layout rules shape the kernel (this is why it looks different from
+the XLA math): reshapes may only split/collapse *leading* dims — the lane
+(minor) dim must stay intact — so the per-head split [.., n_head, d_head]
+is never materialized. Instead all tensors stay [rows, d_model] and the
+per-head reductions/broadcasts run through tiny block-diagonal segment
+matmuls seg [D, H] / segT [H, D] (MXU, ~2 MFLOP per tile).
+
+Backward: a second Pallas kernel recomputes the forward per tile
+(flash-attention-style recompute, nothing saved but the inputs) and emits
+dq/dk/dv/drpe plus dw_rpe/db_rpe accumulated across the sequential TPU grid.
 
 Layouts (all contiguous):
     q:       [B, S, D]           (D = n_head * d_head)
@@ -25,6 +32,8 @@ Layouts (all contiguous):
     w_rpe:   [R, 2 D], b_rpe: [2 D]
     invalid: [B, S, K]  bool
     out:     [B, S, D]
+
+Parity target: /root/reference/src/models/modules/attention_rpe.py:137-182.
 """
 
 from __future__ import annotations
@@ -41,47 +50,178 @@ from trafficbotsv15_tpu.ops.attention import knn_attention
 _MASK = -1e9
 
 
-def _kernel(q_ref, k_ref, v_ref, rpe_ref, inv_ref, w_ref, b_ref, out_ref, *, n_head: int):
-    """One tile of S_TILE sources; full K and D resident in VMEM.
-    Block shapes keep the leading (size-1) batch dim: k_ref is [1, S_TILE, K, D]."""
-    _, s_tile, n_knn, d_model = k_ref.shape
+def pallas_available() -> bool:
+    """Kill-switch for A/B runs (mirrors TB_TRAIN_ONEHOT_GATHER). Platform
+    selection itself is handled by lax.platform_dependent at the call site,
+    so this only honours the env toggle."""
+    import os
+
+    return os.environ.get("TB_USE_PALLAS", "1") != "0"
+
+
+def _head_segments(d_model: int, n_head: int):
+    """seg [D, H] with seg[d, h] = 1 iff lane d belongs to head h; and its
+    transpose. Per-head reductions become matmuls so the lane dim never has
+    to be reshaped inside the kernel."""
     d_head = d_model // n_head
+    heads = jnp.arange(d_model) // d_head  # [D]
+    seg = (heads[:, None] == jnp.arange(n_head)[None, :]).astype(jnp.float32)
+    return seg, seg.T
 
-    # project rpe: [s_tile * K, R] @ [R, 2D] -> rpe_k, rpe_v
-    rpe = rpe_ref[...].reshape(s_tile * n_knn, -1)
-    rpe_kv = jnp.dot(rpe, w_ref[...], preferred_element_type=jnp.float32) + b_ref[...]
-    rpe_k = rpe_kv[:, :d_model].reshape(s_tile, n_knn, n_head, d_head)
-    rpe_v = rpe_kv[:, d_model:].reshape(s_tile, n_knn, n_head, d_head)
 
-    k = k_ref[...].reshape(s_tile, n_knn, n_head, d_head) + rpe_k
-    v = v_ref[...].reshape(s_tile, n_knn, n_head, d_head) + rpe_v
-    q = q_ref[...].reshape(s_tile, 1, n_head, d_head)
+def _fwd_core(q, k, v, rpe, inv, w, b, seg, segT, *, n_head: int, scale: float):
+    """Shared forward math on 2-D/3-D f32 tiles. q [s,D], k/v [s*K,D] (+rpe),
+    rpe [s*K,R], inv [s,K,1] bool. Returns (attn [s,K,H], vv [s,K,D],
+    kk [s,K,D], no_valid [s,1,H])."""
+    s_tile = q.shape[0]
+    n_knn = inv.shape[1]
+    d_model = q.shape[-1]
 
-    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
-    logits = jnp.sum(q * k, axis=-1) * scale  # [s_tile, K, n_head]
-    inv = inv_ref[...].reshape(s_tile, n_knn)[:, :, None]  # [s_tile, K, 1]
+    rpe_kv = jnp.dot(rpe, w, preferred_element_type=jnp.float32) + b
+    kk = k + rpe_kv[:, :d_model]
+    vv = v + rpe_kv[:, d_model:]
+    kk3 = kk.reshape(s_tile, n_knn, d_model)
+    vv3 = vv.reshape(s_tile, n_knn, d_model)
+
+    prod = q[:, None, :] * kk3  # [s, K, D]
+    logits = jnp.dot(
+        prod.reshape(s_tile * n_knn, d_model), seg, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, n_head) * scale
     logits = jnp.where(inv, _MASK, logits)
-
     m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
     e = jnp.where(inv, 0.0, e)
     denom = jnp.sum(e, axis=1, keepdims=True)
     no_valid = denom <= 0.0
-    attn = e / jnp.where(no_valid, 1.0, denom)  # [s_tile, K, n_head]
-
-    out = jnp.sum(attn[..., None] * v, axis=1)  # [s_tile, n_head, d_head]
-    # reshape (not int-index) — Mosaic lowers integer indexing as a gather
-    out = jnp.where(no_valid.reshape(s_tile, n_head)[:, :, None], 0.0, out)
-    out_ref[...] = out.reshape(1, s_tile, d_model)
+    attn = e / jnp.where(no_valid, 1.0, denom)  # [s, K, H]
+    return attn, kk3, vv3, no_valid
 
 
-def _knarpe_fwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head: int, s_tile: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, rpe_ref, inv_ref, w_ref, b_ref, seg_ref, segT_ref,
+                out_ref, *, n_head: int):
+    _, s_tile, n_knn, d_model = k_ref.shape
+    r = rpe_ref.shape[-1]
+    scale = 1.0 / (d_model // n_head) ** 0.5
+
+    q = q_ref[...].reshape(s_tile, d_model).astype(jnp.float32)
+    k = k_ref[...].reshape(s_tile * n_knn, d_model).astype(jnp.float32)
+    v = v_ref[...].reshape(s_tile * n_knn, d_model).astype(jnp.float32)
+    rpe = rpe_ref[...].reshape(s_tile * n_knn, r).astype(jnp.float32)
+    # i1 minor-dim insertion is unsupported in Mosaic: go through f32
+    inv = inv_ref[...].reshape(s_tile, n_knn).astype(jnp.float32)[:, :, None] > 0.0
+    w = w_ref[...].astype(jnp.float32)
+    b = b_ref[...].astype(jnp.float32)
+    seg, segT = seg_ref[...], segT_ref[...]
+
+    attn, _, vv3, no_valid = _fwd_core(q, k, v, rpe, inv, w, b, seg, segT,
+                                       n_head=n_head, scale=scale)
+
+    attn_full = jnp.dot(
+        attn.reshape(s_tile * n_knn, n_head), segT, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, d_model)
+    out = jnp.sum(attn_full * vv3, axis=1)  # [s, D]
+    nv_full = jnp.dot(no_valid.reshape(s_tile, n_head).astype(jnp.float32), segT,
+                      preferred_element_type=jnp.float32)
+    out = jnp.where(nv_full > 0.0, 0.0, out)
+    out_ref[...] = out.reshape(1, s_tile, d_model).astype(out_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, rpe_ref, inv_ref, w_ref, wT_ref, b_ref,
+                seg_ref, segT_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, drpe_ref, dw_ref, db_ref, *, n_head: int):
+    """Recompute-forward backward tile. dw/db accumulate across the sequential
+    TPU grid (same VMEM block revisited every step)."""
+    _, s_tile, n_knn, d_model = k_ref.shape
+    r = rpe_ref.shape[-1]
+    scale = 1.0 / (d_model // n_head) ** 0.5
+
+    q = q_ref[...].reshape(s_tile, d_model).astype(jnp.float32)
+    k = k_ref[...].reshape(s_tile * n_knn, d_model).astype(jnp.float32)
+    v = v_ref[...].reshape(s_tile * n_knn, d_model).astype(jnp.float32)
+    rpe = rpe_ref[...].reshape(s_tile * n_knn, r).astype(jnp.float32)
+    inv = inv_ref[...].reshape(s_tile, n_knn).astype(jnp.float32)[:, :, None] > 0.0
+    w = w_ref[...].astype(jnp.float32)
+    b = b_ref[...].astype(jnp.float32)
+    seg, segT = seg_ref[...], segT_ref[...]
+    g = g_ref[...].reshape(s_tile, d_model).astype(jnp.float32)
+
+    attn, kk3, vv3, _ = _fwd_core(q, k, v, rpe, inv, w, b, seg, segT,
+                                  n_head=n_head, scale=scale)
+    # no_valid rows have attn == 0 everywhere, so every grad below vanishes
+    # for them automatically — the out-zeroing clamp needs no special case.
+
+    attn_full = jnp.dot(
+        attn.reshape(s_tile * n_knn, n_head), segT, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, d_model)
+    g3 = g[:, None, :]  # [s, 1, D]
+
+    dv3 = attn_full * g3  # [s, K, D] — grad wrt vv (= dv and drpe_v)
+    dattn = jnp.dot(
+        (g3 * vv3).reshape(s_tile * n_knn, d_model), seg, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, n_head)
+    s_dot = jnp.sum(attn * dattn, axis=1, keepdims=True)  # [s, 1, H]
+    dlogits = attn * (dattn - s_dot)  # [s, K, H]
+    dlogits_full = jnp.dot(
+        dlogits.reshape(s_tile * n_knn, n_head), segT, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, d_model) * scale
+    dq = jnp.sum(dlogits_full * kk3, axis=1)  # [s, D]
+    dk3 = dlogits_full * q[:, None, :]  # [s, K, D] — grad wrt kk (= dk and drpe_k)
+
+    dkv = jnp.concatenate(
+        [dk3.reshape(s_tile * n_knn, d_model), dv3.reshape(s_tile * n_knn, d_model)], axis=-1
+    )  # [s*K, 2D]
+    drpe = jnp.dot(dkv, wT_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+
+    dq_ref[...] = dq.reshape(1, s_tile, d_model).astype(dq_ref.dtype)
+    dk_ref[...] = dk3.reshape(1, s_tile, n_knn, d_model).astype(dk_ref.dtype)
+    dv_ref[...] = dv3.reshape(1, s_tile, n_knn, d_model).astype(dv_ref.dtype)
+    drpe_ref[...] = drpe.reshape(1, s_tile, n_knn, r).astype(drpe_ref.dtype)
+
+    # dw = rpe^T @ dkv (TN matmul), db = column-sum of dkv; accumulated over
+    # the grid — the TPU grid is sequential so read-modify-write is safe.
+    dw_tile = jax.lax.dot_general(
+        rpe, dkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [R, 2D]
+    db_tile = jnp.sum(dkv, axis=0, keepdims=True)  # [1, 2D]
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dw_ref[...] += dw_tile
+    db_ref[...] += db_tile
+
+
+def _pick_s_tile(n_s: int, requested: int) -> int:
+    return max(8, min(requested, n_s))
+
+
+def _knarpe_fwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head: int, s_tile: int,
+                       interpret: bool = False):
     n_b, n_s, n_knn, d_model = k.shape
     r = rpe.shape[-1]
+    if n_b > 1:
+        # the math is per-source: collapse batch into the source axis so the
+        # grid is short and each tile is big (64 x 1-tile launches -> a few
+        # 128-source tiles at rollout shapes)
+        out = _knarpe_fwd_pallas(
+            q.reshape(1, n_b * n_s, d_model),
+            k.reshape(1, n_b * n_s, n_knn, d_model),
+            v.reshape(1, n_b * n_s, n_knn, d_model),
+            rpe.reshape(1, n_b * n_s, n_knn, r),
+            invalid.reshape(1, n_b * n_s, n_knn),
+            w_rpe, b_rpe, n_head, s_tile, interpret,
+        )
+        return out.reshape(n_b, n_s, d_model)
+    s_tile = _pick_s_tile(n_s, s_tile)
     grid = (n_b, pl.cdiv(n_s, s_tile))
+    seg, segT = _head_segments(d_model, n_head)
 
     return pl.pallas_call(
-        functools.partial(_kernel, n_head=n_head),
+        functools.partial(_fwd_kernel, n_head=n_head),
         out_shape=jax.ShapeDtypeStruct((n_b, n_s, d_model), q.dtype),
         grid=grid,
         in_specs=[
@@ -92,13 +232,76 @@ def _knarpe_fwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head: int, s_tile:
             pl.BlockSpec((1, s_tile, n_knn), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r, 2 * d_model), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * d_model,), lambda b, s: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_model, n_head), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_head, d_model), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, s_tile, d_model), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
-    )(q, k, v, rpe, invalid, w_rpe, b_rpe)
+        interpret=interpret,
+    )(q, k, v, rpe, invalid, w_rpe, b_rpe, seg, segT)
+
+
+def _knarpe_bwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, g, n_head: int, s_tile: int,
+                       interpret: bool = False):
+    n_b, n_s, n_knn, d_model = k.shape
+    r = rpe.shape[-1]
+    if n_b > 1:
+        grads = _knarpe_bwd_pallas(
+            q.reshape(1, n_b * n_s, d_model),
+            k.reshape(1, n_b * n_s, n_knn, d_model),
+            v.reshape(1, n_b * n_s, n_knn, d_model),
+            rpe.reshape(1, n_b * n_s, n_knn, r),
+            invalid.reshape(1, n_b * n_s, n_knn),
+            w_rpe, b_rpe,
+            g.reshape(1, n_b * n_s, d_model),
+            n_head, s_tile, interpret,
+        )
+        dq, dk, dv, drpe, dw, db = grads
+        return (dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape),
+                drpe.reshape(rpe.shape), dw, db)
+    s_tile = _pick_s_tile(n_s, s_tile)
+    grid = (n_b, pl.cdiv(n_s, s_tile))
+    seg, segT = _head_segments(d_model, n_head)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct(q.shape, q.dtype),           # dq
+        jax.ShapeDtypeStruct(k.shape, k.dtype),           # dk
+        jax.ShapeDtypeStruct(v.shape, v.dtype),           # dv
+        jax.ShapeDtypeStruct(rpe.shape, rpe.dtype),       # drpe
+        jax.ShapeDtypeStruct((r, 2 * d_model), jnp.float32),   # dw (grid-accumulated)
+        jax.ShapeDtypeStruct((1, 2 * d_model), jnp.float32),   # db
+    )
+    dq, dk, dv, drpe, dw, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_head=n_head),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, s_tile, d_model), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, d_model), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, d_model), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, r), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 2 * d_model), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * d_model, r), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * d_model,), lambda b, s: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_model, n_head), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_head, d_model), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, d_model), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, s_tile, d_model), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, d_model), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, d_model), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, r), lambda b, s: (b, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 2 * d_model), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * d_model), lambda b, s: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q, k, v, rpe, invalid, w_rpe, jnp.swapaxes(w_rpe, 0, 1), b_rpe, seg, segT, g)
+    return dq, dk, dv, drpe, dw.astype(w_rpe.dtype), db.reshape(-1).astype(b_rpe.dtype)
 
 
 def _reference(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head):
-    """XLA reference path (identical math; used for backward + fallback)."""
+    """XLA reference path (identical math; fallback + ground truth for tests)."""
     n_b, n_s, n_knn, d_model = k.shape
     d_head = d_model // n_head
     rpe_kv = rpe @ w_rpe + b_rpe
@@ -115,22 +318,24 @@ def _reference(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def knarpe_attention(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head: int, s_tile: int = 128):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def knarpe_attention(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head: int, s_tile: int = 64,
+                     interpret: bool = False):
     """Fused KNN-RPE attention. Shapes per module docstring. Returns [B, S, D]."""
-    return _knarpe_fwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head, s_tile)
+    return _knarpe_fwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head, s_tile, interpret)
 
 
-def _fwd(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head, s_tile):
-    out = _knarpe_fwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head, s_tile)
+def _fwd(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head, s_tile, interpret):
+    out = _knarpe_fwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head, s_tile, interpret)
     return out, (q, k, v, rpe, invalid, w_rpe, b_rpe)
 
 
-def _bwd(n_head, s_tile, residuals, g):
+def _bwd(n_head, s_tile, interpret, residuals, g):
     q, k, v, rpe, invalid, w_rpe, b_rpe = residuals
-    _, vjp = jax.vjp(lambda *a: _reference(*a, n_head), q, k, v, rpe, invalid, w_rpe, b_rpe)
-    grads = vjp(g)
-    return grads
+    dq, dk, dv, drpe, dw, db = _knarpe_bwd_pallas(
+        q, k, v, rpe, invalid, w_rpe, b_rpe, g, n_head, s_tile, interpret
+    )
+    return dq, dk, dv, drpe, None, dw, db
 
 
 knarpe_attention.defvjp(_fwd, _bwd)

@@ -96,9 +96,11 @@ def get_tgt_knn(
     neg_dist_knn, idx_tgt = jax.lax.top_k(-rel_dist, n_tgt_knn)
     dist_knn = -neg_dist_knn  # [n_sc, n_src, K]
 
-    invalid_expand = jnp.broadcast_to(tgt_invalid[:, None, :], rel_dist.shape)
-    tgt_invalid_knn = jnp.take_along_axis(invalid_expand, idx_tgt, axis=-1)
-    tgt_invalid_knn = tgt_invalid_knn | (dist_knn > dist_limit)
+    # contract: rel_dist is +inf wherever src or tgt is invalid (get_rel_pose /
+    # get_rel_dist guarantee it), so the winners' validity falls out of the
+    # top-k values — no bool gather needed (that gather was the single most
+    # expensive op of the rollout step, 3.7 ms at flagship shapes).
+    tgt_invalid_knn = dist_knn > dist_limit
 
     rpe = None
     if rel_pose is not None:
@@ -136,9 +138,8 @@ def get_tgt_knn_lazy(
 
     neg_dist_knn, idx_tgt = jax.lax.top_k(-rel_dist, n_tgt_knn)
     dist_knn = -neg_dist_knn
-    invalid_expand = jnp.broadcast_to(tgt_invalid[:, None, :], rel_dist.shape)
-    tgt_invalid_knn = jnp.take_along_axis(invalid_expand, idx_tgt, axis=-1)
-    tgt_invalid_knn = tgt_invalid_knn | (dist_knn > dist_limit)
+    # invalid pairs carry dist=inf, so validity falls out of the top-k values
+    tgt_invalid_knn = dist_knn > dist_limit
 
     # plain gather regardless of onehot_gather_scope: everything here is under
     # stop_gradient, so there is no backward scatter to avoid
