@@ -25,6 +25,16 @@ from trafficbotsv15_tpu.ops.rpe import gather_tgt
 _xavier = nn.initializers.xavier_uniform()
 
 
+def _dense_knn_max() -> int:
+    """KNN self-attention over token sets up to this size runs as dense masked
+    attention (zero gathers; the KNN restriction becomes a mask built from the
+    indices on the VPU). Above it, project-then-gather is used. The per-layer
+    KV gathers this removes cost ~12 ms/step at flagship rollout shapes."""
+    import os
+
+    return int(os.environ.get("TB_DENSE_KNN_MAX", "128"))
+
+
 class AttentionRPE(nn.Module):
     """Fused multi-head attention with three K/V layouts (dense / KNN / KNN+RPE).
 
@@ -40,6 +50,58 @@ class AttentionRPE(nn.Module):
     apply_q_rpe: bool = False
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _dense_knn_attention(self, q, kv, tgt_idx, tgt_padding_mask, rpe, rpe_kv_static):
+        """KNN self-attention computed as dense masked attention (no gathers).
+
+        q:   [n_b, n_src, n_head, d_head]
+        kv:  [n_b, n_tgt, 2*d_model]   (projected token set; n_tgt == n_src)
+        tgt_idx: [n_b, n_src, K] int   (distinct positions per source)
+        tgt_padding_mask: [n_b, n_src, K] bool, True = invalid slot
+
+        logits over all targets = q·k + scatter(q·rpe_k at idx); the softmax is
+        masked to targets appearing in a valid KNN slot; out = attn @ v plus the
+        rpe_v term re-gathered from dense attn via the same one-hot. Exact
+        (up to float reorder) vs gather-based knn_attention because top_k
+        yields distinct positions.
+        """
+        n_b, n_src, n_head, d_head = q.shape
+        n_tgt = kv.shape[1]
+        n_knn = tgt_idx.shape[-1]
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(n_b, n_tgt, n_head, d_head)
+        v = v.reshape(n_b, n_tgt, n_head, d_head)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, q.dtype))
+
+        onehot = (tgt_idx[..., None] == jnp.arange(n_tgt)[None, None, None]).astype(q.dtype)
+        if tgt_padding_mask is not None:
+            valid_slot = (~tgt_padding_mask).astype(q.dtype)
+            dense_invalid = jnp.einsum("bsk,bskn->bsn", valid_slot, onehot) <= 0.0
+        else:
+            dense_invalid = jnp.einsum("bskn->bsn", onehot) <= 0.0
+
+        logits = jnp.einsum("bshd,bthd->bsht", q, k) * scale  # [b, s, h, t]
+        if rpe_kv_static is not None:
+            rpe_k, rpe_v = rpe_kv_static
+        elif rpe is not None:
+            assert self.d_rpe > 0
+            rpe_k, rpe_v = self._rpe_kv(rpe)  # [b, s, K, h, dh]
+        else:
+            rpe_k = rpe_v = None
+        if rpe_k is not None:
+            q_rpe = jnp.einsum("bshd,bskhd->bskh", q, rpe_k) * scale
+            logits = logits + jnp.einsum("bskh,bskn->bshn", q_rpe, onehot)
+
+        from trafficbotsv15_tpu.ops.attention import _masked_softmax
+
+        attn, no_valid = _masked_softmax(logits, dense_invalid[:, :, None, :])
+        out = jnp.einsum("bsht,bthd->bshd", attn, v)
+        if rpe_v is not None:
+            attn_knn = jnp.einsum("bshn,bskn->bskh", attn, onehot)
+            out = out + jnp.einsum("bskh,bskhd->bshd", attn_knn, rpe_v)
+        if no_valid is not None:
+            out = jnp.where(no_valid[..., 0][..., None, None], 0.0, out)
+        return out.reshape(n_b, n_src, n_head * d_head)
 
     def _rpe_kv(self, rpe):
         """Project rpe -> (rpe_k, rpe_v), each [..., n_head, d_head]."""
@@ -102,18 +164,31 @@ class AttentionRPE(nn.Module):
             return out
 
         dense_kv = nn.Dense(2 * self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="kv_proj")
-        if tgt_idx is not None:
+        dense_knn = tgt_idx is not None and not self.apply_q_rpe and n_src <= _dense_knn_max()
+        if tgt_idx is not None and not dense_knn:
             # KNN self-attention: project the n_src tokens once, THEN gather —
             # row-wise ops commute with the gather, so this is bit-identical to
             # gather-then-project but runs the matmul on K x fewer rows
             assert tgt is None
             kv = gather_tgt(dense_kv(src), tgt_idx)  # [n_b, n_src, K, 2d]
             tgt = kv  # mark the KNN (4D) layout for the branch below
-        else:
+        elif not dense_knn:
             kv = dense_kv(src if tgt is None else tgt)
-        k, v = jnp.split(kv, 2, axis=-1)
+        if not dense_knn:
+            k, v = jnp.split(kv, 2, axis=-1)
 
-        if tgt is None or tgt.ndim == 3:
+        if dense_knn:
+            # KNN self-attention over a small token set: run DENSE attention
+            # with a mask built from the indices. Equivalent math (top_k gives
+            # distinct positions, so each target owns at most one KNN slot and
+            # the scattered rpe biases are exact), but zero HBM gathers — the
+            # per-layer [n_b*n_src*K, 2d] KV gathers were the rollout's second
+            # biggest cost after the bool-mask gathers.
+            assert tgt is None
+            out = self._dense_knn_attention(
+                q, dense_kv(src), tgt_idx, tgt_padding_mask, rpe, rpe_kv_static
+            )
+        elif tgt is None or tgt.ndim == 3:
             # dense attention over a shared target set
             n_tgt = n_src if tgt is None else tgt.shape[1]
             k = k.reshape(n_b, n_tgt, self.n_head, d_head)
