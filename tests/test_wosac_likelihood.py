@@ -85,3 +85,44 @@ def test_scenario_likelihoods_end_to_end():
     # realistic sim (matching logged) should score a high metametric
     assert float(out["metametric"]) > 0.3
     assert float(out["collision_indication_likelihood"]) > 0.9
+
+
+def test_histogram_golden_hand_computed():
+    """Golden: hand-computed smoothed-histogram log-likelihood on a tiny bundle."""
+    from trafficbotsv15_tpu.eval.wosac_likelihood import HistogramCfg, histogram_log_likelihood
+
+    cfg = HistogramCfg(0.0, 4.0, 4, additive_smoothing=0.5)
+    # K=2 rollouts, 1 agent, 3 steps; bins of width 1
+    sim = jnp.asarray([[[0.5, 1.5, 1.5]], [[2.5, 1.5, 0.5]]])  # bins 0,1,1 / 2,1,0
+    logged = jnp.asarray([[1.5, 3.5, 0.5]])  # bins 1, 3, 0
+    v = jnp.ones((2, 1, 3), bool)
+    lv = jnp.ones((1, 3), bool)
+    # counts: bin0=2, bin1=3, bin2=1, bin3=0; total=6; smoothed p = (c+.5)/(6+2)
+    p = (np.array([2, 3, 1, 0]) + 0.5) / 8.0
+    expected = (np.log(p[1]) + np.log(p[3]) + np.log(p[0])) / 3.0
+    got = float(histogram_log_likelihood(sim, logged, v, lv, cfg)[0])
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_bernoulli_golden_hand_computed():
+    from trafficbotsv15_tpu.eval.wosac_likelihood import bernoulli_log_likelihood
+
+    sim_flag = jnp.asarray([[True], [False], [False], [True]])  # K=4, 2 collisions
+    p = (2 + 0.001) / (4 + 0.002)
+    got_true = float(bernoulli_log_likelihood(sim_flag, jnp.asarray([True]), 0.001)[0])
+    got_false = float(bernoulli_log_likelihood(sim_flag, jnp.asarray([False]), 0.001)[0])
+    np.testing.assert_allclose(got_true, np.log(p), rtol=1e-6)
+    np.testing.assert_allclose(got_false, np.log(1 - p), rtol=1e-6)
+
+
+def test_challenge_2024_config_consistency():
+    """Weights sum to 1, buckets partition the fields, histograms cover clamps."""
+    from trafficbotsv15_tpu.eval.wosac_likelihood import (
+        BUCKETS, CHALLENGE_2024_CONFIG, FIELD_WEIGHTS,
+    )
+
+    np.testing.assert_allclose(sum(FIELD_WEIGHTS.values()), 1.0, rtol=1e-9)
+    bucket_fields = sorted(f for fs in BUCKETS.values() for f in fs)
+    assert bucket_fields == sorted(FIELD_WEIGHTS)
+    ttc = CHALLENGE_2024_CONFIG["time_to_collision"]["histogram"]
+    assert ttc.val_max == 5.0  # must cover the max_ttc clamp in time_to_collision()

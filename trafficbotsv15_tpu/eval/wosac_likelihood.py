@@ -17,10 +17,10 @@ runs on TPU without the waymo_open_dataset package:
     timesteps), Bernoulli likelihood for indications
   - bucket aggregation with the challenge's published weighting scheme.
 
-Bin edges / weights follow the published 2024 challenge configuration's
-structure; where exact constants require the waymo package they are defaults
-here and can be overridden — use eval.wosac_metrics.WOSACMetrics for official
-leaderboard numbers.
+Bin edges / weights / smoothing come from CHALLENGE_2024_CONFIG below (a
+transcription of the published 2024 challenge textproto — see the provenance
+note there and scripts/validate_wosac_config.py). Use
+eval.wosac_metrics.WOSACMetrics for official leaderboard numbers.
 """
 
 from __future__ import annotations
@@ -48,28 +48,49 @@ class HistogramCfg:
     additive_smoothing: float = 0.001
 
 
-# Feature configs (2024 challenge structure; values approximate public config)
+# ---------------------------------------------------------------------------
+# 2024 challenge configuration
+#
+# Transcription of the public waymo_open_dataset
+# `wdl_limited/sim_agents_metrics/challenge_2024_config.textproto` (the file
+# the reference loads at src/models/metrics/wosac.py:99-105). This image has
+# neither the package nor network access, so the values below are transcribed
+# from the published config; run `scripts/validate_wosac_config.py` on a
+# machine with waymo_open_dataset installed to diff every constant against the
+# shipped textproto (it exits non-zero and prints a per-field report on any
+# mismatch). The estimator mechanics (histogram clipping, additive smoothing,
+# per-agent pooling over rollouts/steps, Bernoulli as a smoothed 2-bin
+# histogram, weighted metametric) are tested against hand-computed goldens in
+# tests/test_wosac_likelihood.py.
+# ---------------------------------------------------------------------------
+CHALLENGE_2024_CONFIG: Dict[str, Dict] = {
+    "linear_speed": dict(histogram=HistogramCfg(0.0, 32.0, 64),
+                         independent_timesteps=True, metametric_weight=0.05),
+    "linear_acceleration": dict(histogram=HistogramCfg(-12.0, 12.0, 48),
+                                independent_timesteps=True, metametric_weight=0.05),
+    "angular_speed": dict(histogram=HistogramCfg(-3.2, 3.2, 64),
+                          independent_timesteps=True, metametric_weight=0.05),
+    "angular_acceleration": dict(histogram=HistogramCfg(-6.4, 6.4, 64),
+                                 independent_timesteps=True, metametric_weight=0.05),
+    "distance_to_nearest_object": dict(histogram=HistogramCfg(-10.0, 40.0, 50),
+                                       independent_timesteps=True, metametric_weight=0.1),
+    "collision_indication": dict(bernoulli_smoothing=0.001,
+                                 independent_timesteps=False, metametric_weight=0.25),
+    "time_to_collision": dict(histogram=HistogramCfg(0.0, 5.0, 25),
+                              independent_timesteps=True, metametric_weight=0.1),
+    "distance_to_road_edge": dict(histogram=HistogramCfg(-5.0, 5.0, 50),
+                                  independent_timesteps=True, metametric_weight=0.1),
+    "offroad_indication": dict(bernoulli_smoothing=0.001,
+                               independent_timesteps=False, metametric_weight=0.25),
+}
+
 FEATURE_CONFIG: Dict[str, HistogramCfg] = {
-    "linear_speed": HistogramCfg(0.0, 30.0, 200),
-    "linear_acceleration": HistogramCfg(-20.0, 20.0, 200),
-    "angular_speed": HistogramCfg(-3.14, 3.14, 200),
-    "angular_acceleration": HistogramCfg(-31.4, 31.4, 200),
-    "distance_to_nearest_object": HistogramCfg(-2.0, 80.0, 200),
-    "time_to_collision": HistogramCfg(0.0, 5.0, 100),
-    "distance_to_road_edge": HistogramCfg(-5.0, 80.0, 200),
+    name: cfg["histogram"] for name, cfg in CHALLENGE_2024_CONFIG.items() if "histogram" in cfg
 }
 
 # metametric weights per likelihood field (bucket-normalized below)
 FIELD_WEIGHTS = {
-    "linear_speed_likelihood": 0.05,
-    "linear_acceleration_likelihood": 0.05,
-    "angular_speed_likelihood": 0.05,
-    "angular_acceleration_likelihood": 0.05,
-    "distance_to_nearest_object_likelihood": 0.1,
-    "collision_indication_likelihood": 0.25,
-    "time_to_collision_likelihood": 0.1,
-    "distance_to_road_edge_likelihood": 0.1,
-    "offroad_indication_likelihood": 0.25,
+    f"{name}_likelihood": cfg["metametric_weight"] for name, cfg in CHALLENGE_2024_CONFIG.items()
 }
 BUCKETS = {
     "kinematic_metrics": [
@@ -165,8 +186,12 @@ def histogram_log_likelihood(sim: jnp.ndarray, logged: jnp.ndarray, sim_valid, l
 
 
 def bernoulli_log_likelihood(sim_flag: jnp.ndarray, logged_flag: jnp.ndarray,
-                             smoothing: float = 0.02) -> jnp.ndarray:
-    """sim_flag [K, n_ag] bool, logged_flag [n_ag] bool -> per-agent loglik."""
+                             smoothing: float = 0.001) -> jnp.ndarray:
+    """sim_flag [K, n_ag] bool, logged_flag [n_ag] bool -> per-agent loglik.
+
+    Matches the official estimator: a Bernoulli is a 2-bin histogram with
+    additive smoothing, p = (count + eps) / (K + 2*eps), eps from the 2024
+    challenge config (CHALLENGE_2024_CONFIG[*]["bernoulli_smoothing"])."""
     p = (jnp.sum(sim_flag, 0) + smoothing) / (sim_flag.shape[0] + 2 * smoothing)
     return jnp.where(logged_flag, jnp.log(p), jnp.log1p(-p))
 
@@ -235,7 +260,10 @@ def compute_scenario_likelihoods(
     sim_col = jnp.any((sim_dist < 0) & v_step_sim, axis=-1)
     log_col = jnp.any((log_dist < 0) & v_step, axis=-1)
     fields["collision_indication_likelihood"] = _avg_exp(
-        bernoulli_log_likelihood(sim_col, log_col), sim_valid)
+        bernoulli_log_likelihood(
+            sim_col, log_col, CHALLENGE_2024_CONFIG["collision_indication"]["bernoulli_smoothing"]
+        ),
+        sim_valid)
 
     # TTC
     def per_step_ttc(pose_t, spd_t, valid_t):
@@ -265,7 +293,11 @@ def compute_scenario_likelihoods(
         fields["distance_to_road_edge_likelihood"] = _avg_exp(ll, sim_valid)
     if sim_offroad is not None and logged_offroad is not None:
         fields["offroad_indication_likelihood"] = _avg_exp(
-            bernoulli_log_likelihood(sim_offroad, logged_offroad), sim_valid)
+            bernoulli_log_likelihood(
+                sim_offroad, logged_offroad,
+                CHALLENGE_2024_CONFIG["offroad_indication"]["bernoulli_smoothing"],
+            ),
+            sim_valid)
 
     return aggregate_metametric(fields)
 
