@@ -260,15 +260,15 @@ def filter_episode_map(episode, step_current, n_mp_h5, dist_thresh_mp=2000.0, th
 
     episode["map/valid"][episode["map/valid"].sum(1) <= 3] = False
 
-    rel_xy = rel_pos[:, :2]
     while episode["map/valid"].any(1).sum() > n_mp_h5:
         remain = episode["map/valid"].any(1)
         for i in range(len(remain)):
             if remain[i]:
-                pl = episode["map/pos"][i][episode["map/valid"][i]][:, :2]
+                # 3-D distance, matching pack_h5.py:372-376 bit for bit
+                pl = episode["map/pos"][i][episode["map/valid"][i]]
                 close = min(
-                    np.linalg.norm(rel_xy - pl[0], axis=1).min(),
-                    np.linalg.norm(rel_xy - pl[-1], axis=1).min(),
+                    np.linalg.norm(rel_pos - pl[0], axis=1).min(),
+                    np.linalg.norm(rel_pos - pl[-1], axis=1).min(),
                 ) < dist_thresh_mp
                 if not close:
                     episode["map/valid"][i] = False
