@@ -38,6 +38,23 @@ def test_reactive_replay_and_metrics(setup):
     assert 0.0 <= rm["reactive_replay/traffic_rule/collided"] <= 1.0
 
 
+def test_per_flavor_error_reset(setup):
+    """Error-threshold resets read the PER-FLAVOR teacher-forcing config
+    (reference threads one config per rollout flavor, teacher_forcing.py:107-167):
+    enabling thresholds on the reactive-replay flavor — while training keeps
+    them off — must increase forcing in reactive replay."""
+    import dataclasses
+
+    cfg, batch, model, params = setup
+    _, buf0, *_ = reactive_replay(cfg, model, params, batch, jax.random.PRNGKey(1))
+    tf_rr = dataclasses.replace(cfg.teacher_forcing_reactive_replay, threshold_xy=1e-4)
+    cfg2 = dataclasses.replace(cfg, teacher_forcing_reactive_replay=tf_rr)
+    _, buf1, *_ = reactive_replay(cfg2, model, params, batch, jax.random.PRNGKey(1))
+    f0 = int(np.asarray(buf0.mask_teacher_forcing).sum())
+    f1 = int(np.asarray(buf1.mask_teacher_forcing).sum())
+    assert f1 > f0
+
+
 def test_joint_future_pred(setup):
     cfg, batch, model, params = setup
     K = 4

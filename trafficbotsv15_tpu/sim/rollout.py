@@ -61,6 +61,7 @@ class RolloutBuffer:
     pred_valid: jnp.ndarray  # [n_sc, n_ag, n_step]
     pred_pose: jnp.ndarray  # [n_sc, n_ag, n_step, 3]
     pred_motion: jnp.ndarray  # [n_sc, n_ag, n_step, 3]
+    pred_action: jnp.ndarray  # [n_sc, n_ag, n_step, 2] bounded (acc, steer), for vis
     action_log_prob: jnp.ndarray  # [n_sc, n_ag, n_step]
     tl_state_nll: jnp.ndarray  # [n_sc, n_tl, n_step]
     tl_state_nll_invalid: jnp.ndarray  # [n_sc, n_tl, n_step]
@@ -142,6 +143,10 @@ def rollout(
     # dest statics are re-derived when an agent gets a new dest,
     # traffic_rule_checker.py:321-340)
     navi_update_inputs: Optional[Dict[str, jnp.ndarray]] = None,
+    # per-flavor teacher-forcing config for the error-threshold reset; the
+    # reference threads a separate config per rollout flavor
+    # (teacher_forcing.py:107-167). None = cfg.teacher_forcing_training.
+    tf_cfg=None,
 ) -> RolloutBuffer:
     """Run the closed-loop simulation from step 1 to step_end inclusive.
 
@@ -227,7 +232,8 @@ def rollout(
         key=key,
     )
 
-    tf_cfg = cfg.teacher_forcing_training  # thresholds only; mask already precomputed
+    if tf_cfg is None:
+        tf_cfg = cfg.teacher_forcing_training  # thresholds only; mask already precomputed
 
     def step_fn(c: SimCarry, x) -> Tuple[SimCarry, Any]:
         key, k_action, k_drop, k_navi = jax.random.split(c.key, 4)
@@ -245,7 +251,11 @@ def rollout(
 
         from trafficbotsv15_tpu.ops.rpe import onehot_gather_scope
 
-        _onehot = train and os.environ.get("TB_TRAIN_ONEHOT_GATHER", "1") == "1"
+        # one-hot matmul gathers in the rollout scan for BOTH train and eval:
+        # training avoids the backward scatter-add; in eval the native gather
+        # runs ~30 GB/s inside the big scan body while the one-hot rides the
+        # MXU (A/B on v5e: 127.8k -> 141.0k agent-steps/s, docs/PERF.md)
+        _onehot = os.environ.get("TB_TRAIN_ONEHOT_GATHER", "1") == "1"
         rngs = {"dropout": k_drop} if train else None
         with onehot_gather_scope(_onehot):
             action_dist, tl_logits, rnn_hidden, tl_rnn_hidden = model.apply(
@@ -278,7 +288,7 @@ def rollout(
         player = None
         if "player_valid" in x:
             player = {"valid": x["player_valid"], "action": x["player_action"]}
-        new_pose, new_motion, _ = dyn.step_dynamics(
+        new_pose, new_motion, action_bounded = dyn.step_dynamics(
             c.pose, c.motion, c.valid, action_unbounded, ag_type, cfg.dynamics,
             player_override=player,
         )
@@ -369,6 +379,7 @@ def rollout(
             pred_valid=pred_valid,
             pred_pose=pred_pose,
             pred_motion=pred_motion,
+            pred_action=jax.lax.stop_gradient(action_bounded),
             action_log_prob=action_log_prob,
             tl_state_nll=nll,
             tl_state_nll_invalid=nll_invalid,
@@ -419,6 +430,7 @@ def rollout(
         pred_valid=to_buffer(outs["pred_valid"]),
         pred_pose=to_buffer(outs["pred_pose"]),
         pred_motion=to_buffer(outs["pred_motion"]),
+        pred_action=to_buffer(outs["pred_action"]),
         action_log_prob=to_buffer(outs["action_log_prob"]),
         tl_state_nll=to_buffer(outs["tl_state_nll"]),
         tl_state_nll_invalid=to_buffer(outs["tl_state_nll_invalid"]),

@@ -84,6 +84,7 @@ def reactive_replay(
         rule_statics=statics, rule_state0=state0, check_level=check_level,
         key=k_roll, deterministic_action=True, train=False,
         navi_update_inputs=_navi_update_inputs(cfg, batch),
+        tf_cfg=cfg.teacher_forcing_reactive_replay,
     )
     return pp, buffer, navi_pred, latent_post, latent_prior
 
@@ -171,6 +172,7 @@ def joint_future_pred(
         rule_statics=statics, rule_state0=state0, check_level=check_level,
         key=k_roll, deterministic_action=True, train=False,
         navi_update_inputs=_navi_update_inputs(cfg, batch, rep),
+        tf_cfg=cfg.teacher_forcing_joint_future_pred,
     )
     buffer = rollout_lib.compute_log_prob(buffer, latent_log_prob)
     return pp, buffer.flatten_joint_future(k)
