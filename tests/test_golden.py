@@ -16,13 +16,15 @@ from trafficbotsv15_tpu.data.preprocessing import pre_processing
 from trafficbotsv15_tpu.data.synthetic import make_batch
 from trafficbotsv15_tpu.train.pipeline import build_model, init_params, training_forward
 
+# regenerated 2026-08-16 after the kv projection became explicit params
+# (kv_w/kv_b, concat-fused with rpe) — param init RNG paths changed
 GOLDEN = {
-    "mp_feat_sum": 684.9255981445312,
-    "mp_feat_absmean": 0.8997582793235779,
-    "loss": 8.217365264892578,
-    "training/vae_kl": 1.6543067693710327,
-    "training/navi_loss": 1.448303461074829,
-    "training/tl_state_loss": 2.7128708362579346,
+    "mp_feat_sum": 675.9125366210938,
+    "mp_feat_absmean": 0.9132077097892761,
+    "loss": 9.206026077270508,
+    "training/vae_kl": 2.7455389499664307,
+    "training/navi_loss": 1.339208960533142,
+    "training/tl_state_loss": 2.7123923301696777,
 }
 
 
@@ -45,6 +47,7 @@ def test_map_encoder_golden(setup):
     np.testing.assert_allclose(float(jnp.mean(jnp.abs(mp.feature))), GOLDEN["mp_feat_absmean"], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_training_loss_golden(setup):
     cfg, batch, model, params = setup
     loss, m = training_forward(cfg, model, params, batch, jax.random.PRNGKey(7))

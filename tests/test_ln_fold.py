@@ -1,0 +1,53 @@
+"""The per-layer target-LayerNorm fold (standardize once + fold scale/bias
+into the kv projection) is exact vs applying LayerNorm then projecting."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from trafficbotsv15_tpu.models.transformer import AttentionRPE, standardize
+
+
+def test_standardize_matches_flax_layernorm():
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 7, 32))
+    ln = nn.LayerNorm(use_scale=False, use_bias=False)
+    ref = ln.apply({"params": {}}, x)
+    np.testing.assert_allclose(np.asarray(standardize(x)), np.asarray(ref), atol=1e-5)
+
+
+def test_ln_fold_exact_with_rpe():
+    key = jax.random.PRNGKey(1)
+    tgt = jax.random.normal(key, (2, 5, 6, 32))
+    rpe = jax.random.normal(jax.random.fold_in(key, 1), (2, 5, 6, 8))
+    gamma = jax.random.normal(jax.random.fold_in(key, 2), (32,)) + 1.0
+    beta = jax.random.normal(jax.random.fold_in(key, 3), (32,))
+
+    mod = AttentionRPE(d_model=32, n_head=2, d_rpe=8, dtype=jnp.float32)
+    params = mod.init(key, None, standardize(tgt), rpe=rpe,
+                      compute_static_kv=True, tgt_ln=(gamma, beta))
+
+    k1, v1 = mod.apply(params, None, standardize(tgt), rpe=rpe,
+                       compute_static_kv=True, tgt_ln=(gamma, beta))
+    # reference: explicit LayerNorm, then the (unfolded) projection
+    ln_tgt = gamma * standardize(tgt) + beta
+    k2, v2 = mod.apply(params, None, ln_tgt, rpe=rpe, compute_static_kv=True)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=2e-5)
+
+
+def test_ln_fold_exact_without_rpe():
+    key = jax.random.PRNGKey(4)
+    tgt = jax.random.normal(key, (2, 5, 6, 32))
+    gamma = jax.random.normal(jax.random.fold_in(key, 2), (32,)) + 1.0
+    beta = jax.random.normal(jax.random.fold_in(key, 3), (32,))
+
+    mod = AttentionRPE(d_model=32, n_head=2, dtype=jnp.float32)
+    params = mod.init(key, None, standardize(tgt), compute_static_kv=True,
+                      tgt_ln=(gamma, beta))
+    k1, v1 = mod.apply(params, None, standardize(tgt), compute_static_kv=True,
+                       tgt_ln=(gamma, beta))
+    ln_tgt = gamma * standardize(tgt) + beta
+    k2, v2 = mod.apply(params, None, ln_tgt, compute_static_kv=True)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=2e-5)

@@ -25,6 +25,21 @@ from trafficbotsv15_tpu.ops.rpe import gather_tgt
 _xavier = nn.initializers.xavier_uniform()
 
 
+def standardize(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """LayerNorm without scale/bias (flax numerics: stats in fp32).
+
+    Per-layer LayerNorms of a shared target tensor differ only by their
+    scale/bias, which fold into the downstream projection weights
+    (LN_i(x) @ W == x_hat @ (gamma_i * W) + beta_i @ W, and gamma_i * W is
+    loop-invariant so XLA hoists it out of the rollout scan). The expensive
+    [.., K, d] normalization then runs ONCE per step instead of once per
+    layer."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mu)
+    return (x32 - mu) * jax.lax.rsqrt(var + eps)
+
+
 def _dense_knn_max() -> int:
     """KNN self-attention over token sets up to this size runs as dense masked
     attention (zero gathers; the KNN restriction becomes a mask built from the
@@ -103,11 +118,60 @@ class AttentionRPE(nn.Module):
             out = jnp.where(no_valid[..., 0][..., None, None], 0.0, out)
         return out.reshape(n_b, n_src, n_head * d_head)
 
+    def _kv_wb(self):
+        w = self.param("kv_w", _xavier, (self.d_model, 2 * self.d_model), jnp.float32)
+        b = None
+        if self.bias:
+            b = self.param("kv_b", nn.initializers.zeros, (2 * self.d_model,), jnp.float32)
+        return w, b
+
+    def _rpe_wb(self):
+        w = self.param("rpe_proj_w", _xavier, (self.d_rpe, 2 * self.d_model), jnp.float32)
+        b = self.param("rpe_proj_b", nn.initializers.zeros, (2 * self.d_model,), jnp.float32)
+        return w, b
+
+    def _project_kv(self, x, ln=None):
+        """x @ W_kv + b -> [..., 2*d_model] (the nn.Dense kv projection, as
+        explicit params so it can be concat-fused with the rpe projection).
+
+        With ln=(gamma, beta), x must be pre-standardized (see standardize):
+        the LayerNorm scale/bias fold into the weights — loop-invariant, so
+        the fold itself is hoisted out of the rollout scan by XLA."""
+        w, b = self._kv_wb()
+        if ln is not None:
+            gamma, beta = ln
+            b = beta @ w if b is None else b + beta @ w  # beta folds via the ORIGINAL W
+            w = gamma[:, None] * w
+        y = x.astype(self.dtype) @ w.astype(self.dtype)
+        return y if b is None else y + b.astype(self.dtype)
+
+    def _project_kv_plus_rpe(self, tgt, rpe, ln=None):
+        """(k + rpe_k, v + rpe_v) as ONE matmul over concatenated features:
+        tgt @ W_kv + rpe @ W_rpe == [tgt ⊕ rpe] @ [W_kv; W_rpe]. Halves the
+        large [.., K, 2*d_model] output traffic of the per-step cross-attn
+        (two matmuls + slice_add -> one matmul) — the adds were ~3 ms/step at
+        flagship rollout shapes. With ln=(gamma, beta), tgt must be
+        pre-standardized and the per-layer LayerNorm folds into W_kv (the
+        [.., K, d] normalization then runs once per step, not once per layer).
+        Returns (k, v) with rpe folded in, each [..., n_head, d_head]."""
+        wk, bk = self._kv_wb()
+        wr, br = self._rpe_wb()
+        if ln is not None:
+            gamma, beta = ln
+            bk = beta @ wk if bk is None else bk + beta @ wk  # beta folds via the ORIGINAL W
+            wk = gamma[:, None] * wk
+        cat = jnp.concatenate([tgt.astype(self.dtype), rpe.astype(self.dtype)], axis=-1)
+        w = jnp.concatenate([wk, wr], axis=0).astype(self.dtype)
+        b = br if bk is None else bk + br
+        y = cat @ w + b.astype(self.dtype)
+        k, v = jnp.split(y, 2, axis=-1)
+        shape = tgt.shape[:-1] + (self.n_head, self.d_model // self.n_head)
+        return k.reshape(shape), v.reshape(shape)
+
     def _rpe_kv(self, rpe):
         """Project rpe -> (rpe_k, rpe_v), each [..., n_head, d_head]."""
         d_head = self.d_model // self.n_head
-        w_rpe = self.param("rpe_proj_w", _xavier, (self.d_rpe, 2 * self.d_model), jnp.float32)
-        b_rpe = self.param("rpe_proj_b", nn.initializers.zeros, (2 * self.d_model,), jnp.float32)
+        w_rpe, b_rpe = self._rpe_wb()
         rpe_proj = rpe.astype(self.dtype) @ w_rpe.astype(self.dtype) + b_rpe.astype(self.dtype)
         rpe_k, rpe_v = jnp.split(rpe_proj, 2, axis=-1)
         shape = rpe.shape[:-1] + (self.n_head, d_head)
@@ -125,6 +189,7 @@ class AttentionRPE(nn.Module):
         rpe_kv_static=None,  # (rpe_k, rpe_v) precomputed: skip the rpe projection only
         compute_static_kv: bool = False,
         tgt_idx: Optional[jnp.ndarray] = None,  # [n_b, n_src, K] self-attn KNN: project src then gather
+        tgt_ln=None,  # (gamma, beta): tgt arrives standardize()d; LN folds into W_kv
     ):
         d_head = self.d_model // self.n_head
         assert d_head * self.n_head == self.d_model
@@ -137,16 +202,12 @@ class AttentionRPE(nn.Module):
                 assert rpe is not None and self.d_rpe > 0 and not self.apply_q_rpe
                 return self._rpe_kv(rpe)
             assert tgt.ndim == 4
-            dense_kv = nn.Dense(2 * self.d_model, use_bias=self.bias, kernel_init=_xavier,
-                                dtype=self.dtype, name="kv_proj")
-            k, v = jnp.split(dense_kv(tgt), 2, axis=-1)
-            shape = tgt.shape[:-1] + (self.n_head, d_head)
-            k, v = k.reshape(shape), v.reshape(shape)
             if rpe is not None:
                 assert self.d_rpe > 0 and not self.apply_q_rpe
-                rpe_k, rpe_v = self._rpe_kv(rpe)
-                k, v = k + rpe_k, v + rpe_v
-            return k, v
+                return self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln)
+            k, v = jnp.split(self._project_kv(tgt, ln=tgt_ln), 2, axis=-1)
+            shape = tgt.shape[:-1] + (self.n_head, d_head)
+            return k.reshape(shape), v.reshape(shape)
 
         n_b, n_src, _ = src.shape
         dense_q = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="q_proj")
@@ -163,18 +224,24 @@ class AttentionRPE(nn.Module):
                 out = jnp.where(no_valid[..., None], 0.0, out)
             return out
 
-        dense_kv = nn.Dense(2 * self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="kv_proj")
         dense_knn = tgt_idx is not None and not self.apply_q_rpe and n_src <= _dense_knn_max()
+        fused_kv_rpe = (  # cross-attn over per-source KNN targets with rpe:
+            # fold the rpe projection into the kv matmul (one concat matmul)
+            tgt is not None and tgt.ndim == 4 and rpe is not None
+            and rpe_kv_static is None and not self.apply_q_rpe
+            and not (self.use_pallas and self.d_rpe > 0)
+        )
         if tgt_idx is not None and not dense_knn:
             # KNN self-attention: project the n_src tokens once, THEN gather —
             # row-wise ops commute with the gather, so this is bit-identical to
             # gather-then-project but runs the matmul on K x fewer rows
             assert tgt is None
-            kv = gather_tgt(dense_kv(src), tgt_idx)  # [n_b, n_src, K, 2d]
+            kv = gather_tgt(self._project_kv(src), tgt_idx)  # [n_b, n_src, K, 2d]
             tgt = kv  # mark the KNN (4D) layout for the branch below
-        elif not dense_knn:
-            kv = dense_kv(src if tgt is None else tgt)
-        if not dense_knn:
+        elif not dense_knn and not fused_kv_rpe:
+            kv = self._project_kv(src if tgt is None else tgt,
+                                  ln=tgt_ln if tgt is not None else None)
+        if not dense_knn and not fused_kv_rpe:
             k, v = jnp.split(kv, 2, axis=-1)
 
         if dense_knn:
@@ -186,7 +253,7 @@ class AttentionRPE(nn.Module):
             # biggest cost after the bool-mask gathers.
             assert tgt is None
             out = self._dense_knn_attention(
-                q, dense_kv(src), tgt_idx, tgt_padding_mask, rpe, rpe_kv_static
+                q, self._project_kv(src), tgt_idx, tgt_padding_mask, rpe, rpe_kv_static
             )
         elif tgt is None or tgt.ndim == 3:
             # dense attention over a shared target set
@@ -208,8 +275,7 @@ class AttentionRPE(nn.Module):
 
             if rpe is not None and not self.apply_q_rpe and self.use_pallas and pallas_available():
                 assert self.d_rpe > 0
-                w_rpe = self.param("rpe_proj_w", _xavier, (self.d_rpe, 2 * self.d_model), jnp.float32)
-                b_rpe = self.param("rpe_proj_b", nn.initializers.zeros, (2 * self.d_model,), jnp.float32)
+                w_rpe, b_rpe = self._rpe_wb()
                 inv = tgt_padding_mask
                 if inv is None:
                     inv = jnp.zeros((n_b, n_src, n_knn), bool)
@@ -224,6 +290,10 @@ class AttentionRPE(nn.Module):
                         n_b, n_src, self.d_model
                     ),
                 )
+            elif fused_kv_rpe:
+                # one concat matmul produces k+rpe_k / v+rpe_v directly
+                k, v = self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln)
+                out, _ = knn_attention(q, k, v, tgt_padding_mask)
             else:
                 k = k.reshape(n_b, n_src, n_knn, self.n_head, d_head)
                 v = v.reshape(n_b, n_src, n_knn, self.n_head, d_head)
@@ -274,6 +344,13 @@ class TransformerLayer(nn.Module):
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def _norm_tgt_params(self):
+        """LayerNorm scale/bias for the cross-attn targets, as explicit params
+        (folded into the kv projection; see standardize)."""
+        gamma = self.param("norm_tgt_scale", nn.initializers.ones, (self.d_model,), jnp.float32)
+        beta = self.param("norm_tgt_bias", nn.initializers.zeros, (self.d_model,), jnp.float32)
+        return gamma, beta
+
     @nn.compact
     def __call__(
         self,
@@ -291,6 +368,7 @@ class TransformerLayer(nn.Module):
         compute_static_kv: bool = False,
         tgt_idx: Optional[jnp.ndarray] = None,  # KNN self-attn: project-then-gather
         decoder_tgt_idx: Optional[jnp.ndarray] = None,
+        tgt_standardized: bool = False,  # tgt already standardize()d by the Block
     ):
         act = {"relu": nn.relu, "gelu": nn.gelu, "elu": nn.elu}[self.activation]
         attn_kw = dict(
@@ -310,9 +388,9 @@ class TransformerLayer(nn.Module):
             # cross-attn K/V(+rpe) of static targets, decoder self-attn rpe_k/v
             cross_kv = None
             if tgt is not None:
-                t = nn.LayerNorm(dtype=self.dtype, name="norm_tgt")(tgt)
                 cross_kv = AttentionRPE(**attn_kw, name="attn")(
-                    None, t, rpe=rpe, compute_static_kv=True
+                    None, standardize(tgt), rpe=rpe, compute_static_kv=True,
+                    tgt_ln=self._norm_tgt_params(),
                 )
             dec_rpe_kv = None
             if self.mode == "dec_cross_attn" and decoder_rpe is not None:
@@ -342,16 +420,26 @@ class TransformerLayer(nn.Module):
 
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         src2 = norm1(src)
-        t = tgt
+        t, t_ln = tgt, None
         if cross_kv_static is not None:
             t = None
         elif t is None and tgt_idx is None:
             tgt_padding_mask = src_padding_mask if tgt_padding_mask is None else tgt_padding_mask
         elif t is not None:
-            t = norm1(t) if self.mode == "enc_self_attn" else nn.LayerNorm(dtype=self.dtype, name="norm_tgt")(t)
+            if self.mode == "enc_self_attn":
+                t = norm1(t)
+            elif t.ndim == 4:
+                # KNN cross targets: the LayerNorm scale/bias fold into the kv
+                # projection; the tensor itself is standardize()d ONCE (by the
+                # Block, shared across layers) instead of LayerNormed per layer
+                if not tgt_standardized:
+                    t = standardize(t)
+                t_ln = self._norm_tgt_params()
+            else:
+                t = nn.LayerNorm(dtype=self.dtype, name="norm_tgt")(t)
         src2 = AttentionRPE(**attn_kw, name="attn")(
             src2, t, tgt_padding_mask=tgt_padding_mask, rpe=rpe, deterministic=deterministic,
-            kv_static=cross_kv_static, tgt_idx=tgt_idx,
+            kv_static=cross_kv_static, tgt_idx=tgt_idx, tgt_ln=t_ln,
         )
         if self.dropout_p > 0:
             src2 = drop("drop1")(src2)
@@ -418,6 +506,13 @@ class TransformerBlock(nn.Module):
                     use_pallas=self.use_pallas, dtype=self.dtype, name=f"layer{i}",
                 )(None, tgt=tgt, rpe=rpe, decoder_rpe=decoder_rpe, compute_static_kv=True))
             return caches
+        if tgt is not None and tgt.ndim == 4 and self.mode != "enc_self_attn":
+            # standardize the KNN cross targets ONCE; per-layer LayerNorms
+            # differ only by scale/bias, which fold into the kv projections
+            tgt = standardize(tgt)
+            tgt_standardized = True
+        else:
+            tgt_standardized = False
         for i in range(self.n_layer):
             _ckv, _drkv = static_kv[i] if static_kv is not None else (None, None)
             src = TransformerLayer(
@@ -446,6 +541,7 @@ class TransformerBlock(nn.Module):
                 decoder_rpe_kv_static=_drkv,
                 tgt_idx=tgt_idx,
                 decoder_tgt_idx=decoder_tgt_idx,
+                tgt_standardized=tgt_standardized,
             )
         if self.out_layernorm:
             src = nn.LayerNorm(dtype=self.dtype, name="out_ln")(src)
