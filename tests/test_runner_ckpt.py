@@ -50,6 +50,30 @@ def test_checkpoint_roundtrip(tmp_path):
     assert cfg3.n_joint_future_wosac == 128
 
 
+@pytest.mark.slow
+def test_fit_wires_swa_and_ema(tmp_path):
+    """fit() reachable from the CLI with swa=True / ema_decay>0 saves averaged
+    params in the checkpoint (reference: PL StochasticWeightAveraging callback)."""
+    from trafficbotsv15_tpu import run as run_mod
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    run_mod.main([
+        "action=fit", "preset=tiny", "data=synthetic", "max_steps=2",
+        f"ckpt_dir={ckpt_dir}", "swa=true", "swa_epoch_start=0.0", "ema_decay=0.5",
+        "max_epochs=1", "batch_size_train=1",
+    ])
+    cfg = tiny_config()
+    cfg2 = config_from_dict({**config_to_dict(cfg), "swa": True, "ema_decay": 0.5})
+    assert cfg2.swa and cfg2.ema_decay == 0.5  # config fields round-trip
+
+    state, rcfg, meta = CheckpointManager(ckpt_dir).restore("last")
+    assert rcfg.swa
+    assert "swa" in state and "ema" in state
+    # swa started at step 0 -> the average is a real average of visited params
+    for leaf in jax.tree_util.tree_leaves(state["swa"]):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_swa_ema():
     p = {"w": jnp.asarray([1.0, 2.0])}
     e = ema_init(p)

@@ -310,6 +310,13 @@ class ExperimentCfg:
     batch_size_test: int = 6
     max_epochs: int = 6
     limit_train_batches: float = 0.2
+    # weight averaging (reference: PL StochasticWeightAveraging callback in
+    # configs/callbacks/wandb.yaml; PL default starts at 80% of max_epochs).
+    # swa=True keeps an equal-weight average of params from swa_epoch_start
+    # onwards; ema_decay>0 keeps an exponential moving average every step.
+    swa: bool = False
+    swa_epoch_start: float = 0.8
+    ema_decay: float = 0.0
     precision: str = "bf16"  # compute dtype; params stay fp32
     # rollout BPTT rematerialization: "full" (recompute everything, min memory),
     # "dots" (save matmul outputs, faster backward), "none" (store all activations)

@@ -135,11 +135,25 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
 
     ema = None
     ema_step = None
+    ema_decay = ema_decay or cfg.ema_decay
     if ema_decay > 0:
         from trafficbotsv15_tpu.train.swa import ema_init, ema_update
 
         ema = ema_init(params)
         ema_step = jax.jit(lambda e, p: ema_update(e, p, ema_decay), donate_argnums=(0,))
+
+    # SWA (reference: PL StochasticWeightAveraging callback): equal-weight
+    # average of params from swa_epoch_start * max_epochs onwards
+    swa_state = None
+    swa_step = None
+    if cfg.swa:
+        from trafficbotsv15_tpu.train.swa import swa_init, swa_update
+
+        swa_start = int(cfg.swa_epoch_start * cfg.max_epochs) * steps_per_epoch
+        swa_state = swa_init(params)
+        swa_step = jax.jit(
+            lambda s, p, i: swa_update(s, p, i, swa_start), donate_argnums=(0,)
+        )
 
     from trafficbotsv15_tpu.parallel.mesh import device_prefetch
 
@@ -155,6 +169,8 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
             params, opt_state, metrics = train_step(params, opt_state, batch, k, epoch)
             if ema is not None:
                 ema = ema_step(ema, params)
+            if swa_state is not None:
+                swa_state = swa_step(swa_state, params, jnp.asarray(step, jnp.float32))
             step += 1
             if profile_dir and step == 6:
                 jax.block_until_ready(metrics["training/loss"])
@@ -171,6 +187,10 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         state = {"params": params, "opt_state": opt_state}
         if ema is not None:
             state["ema"] = ema
+        if swa_state is not None:
+            from trafficbotsv15_tpu.train.swa import swa_params
+
+            state["swa"] = swa_params(swa_state, params)
         ckpt.save_last(state, cfg, {"step": step, "epoch": epoch})
         if validate_every_epoch:
             from trafficbotsv15_tpu.eval.runner import validate
@@ -183,6 +203,15 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+        # honor JAX_PLATFORMS=cpu on images where a TPU plugin (axon) would
+        # otherwise win over the env var (same fix as tests/conftest.py)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized
     from trafficbotsv15_tpu.parallel.mesh import maybe_init_distributed
 
     maybe_init_distributed()

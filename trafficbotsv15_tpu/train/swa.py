@@ -34,7 +34,10 @@ def swa_params(swa_state, fallback):
 
 
 def ema_init(params):
-    return jax.tree_util.tree_map(lambda p: p.astype(jnp.float32), params)
+    # explicit copy: astype(f32) on f32 params is a no-op alias, and the live
+    # training loop donates params to the train step — an aliased EMA would
+    # point at deleted buffers one step later
+    return jax.tree_util.tree_map(lambda p: jnp.array(p, jnp.float32), params)
 
 
 def ema_update(ema, params, decay: float = 0.999):
