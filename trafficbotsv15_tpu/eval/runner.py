@@ -173,23 +173,53 @@ def test_submission(
 
 
 def save_validation_videos(cfg, batch, buf, out_dir: str = "videos", n_vis: int = 1):
-    """Render reactive-replay rollout videos (waymo_motion.py:717-818 analog)."""
+    """Render reactive-replay rollout videos (waymo_motion.py:717-818): per
+    scenario the gt/pd/mix videos plus agent-centric views with the violation/
+    action text sidebar, and one simple overview video."""
     from pathlib import Path
 
-    from trafficbotsv15_tpu.utils.visualization import save_rollout_video
+    from trafficbotsv15_tpu.utils.visualization import save_prediction_videos, save_rollout_video
 
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     paths = []
     bb = {k: np.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
     pv = np.asarray(buf.pred_valid)[:, 0]
     ppred = np.asarray(buf.pred_pose)[:, 0]
-    viol = np.asarray(buf.violation["collided"])[:, 0] if "collided" in buf.violation else None
+    pact = np.asarray(buf.pred_action)[:, 0]
+    act_p = np.asarray(buf.action_log_prob)[:, 0]
+    viol = {k: np.asarray(v)[:, 0] for k, v in buf.violation.items()}
+    rew = {k: np.asarray(v)[:, 0] for k, v in buf.diffbar_reward.items()}
+    tl_state = np.asarray(buf.tl_state)[:, 0]
+    step_cur = cfg.time_step_current
     for i in range(min(n_vis, pv.shape[0])):
+        episode = {k: v[i] for k, v in bb.items()
+                   if k.startswith(("map/", "agent/", "tl_lane/", "tl_stop/"))}
+        prediction = {
+            "step_current": step_cur,
+            "step_gt": cfg.time_step_gt,
+            "step_end": cfg.time_step_end,
+            "agent/valid": pv[i, :, step_cur:],
+            "agent/pos": ppred[i, :, step_cur:, :2],
+            "agent/yaw_bbox": ppred[i, :, step_cur:, 2:3],
+            "action": pact[i, :, step_cur:],
+            "act_P": act_p[i, :, step_cur:],
+        }
+        # predicted TL states: rows follow the model's tl_mode token set
+        tl_key = "tl_lane/state" if cfg.model.tl_mode == "lane" else "tl_stop/state"
+        prediction[tl_key] = tl_state[i, :, step_cur:]
+        if buf.log_prob is not None:
+            prediction["score"] = np.asarray(buf.log_prob)[i, 0]
+        for k, v in viol.items():
+            prediction[k] = v[i, :, step_cur:]
+        if "diffbar_reward" in rew:
+            prediction["diffbar_reward"] = rew["diffbar_reward"][i, :, step_cur:]
+        paths += save_prediction_videos(f"{out_dir}/scenario_{i}", episode, prediction)
         paths.append(save_rollout_video(
             f"{out_dir}/scenario_{i}.mp4",
             bb["map/valid"][i], bb["map/type"][i], bb["map/pos"][i], bb["map/boundary"][i],
             pred_pose=ppred[i], pred_valid=pv[i], ag_size=bb["agent/size"][i],
-            ag_role=bb["agent/role"][i], violation=None if viol is None else viol[i],
+            ag_role=bb["agent/role"][i],
+            violation=viol["collided"][i] if "collided" in viol else None,
         ))
     return paths
 
