@@ -12,3 +12,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # the env var alone does not beat the axon plugin
 jax.config.update("jax_enable_x64", False)
+
+# persistent compilation cache: identical HLO across tests (reactive replay,
+# validate runner, eval fixtures share the tiny config) compiles once per
+# machine instead of once per test; warm reruns of the suite start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/jax_tb_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

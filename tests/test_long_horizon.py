@@ -4,6 +4,7 @@ free-running regime) — beyond-GT steps have no forcing, no loss, no tl GT."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -13,6 +14,7 @@ from trafficbotsv15_tpu.train.pipeline import build_model, init_params
 from trafficbotsv15_tpu.train.evaluation import joint_future_pred
 
 
+@pytest.mark.slow
 def test_rollout_beyond_gt():
     cfg0 = tiny_config(n_ag=6, n_mp=20, n_tl=6, n_step=13, hidden_dim=32)
     cfg = dataclasses.replace(cfg0, time_step_end=20)  # gt ends at 12

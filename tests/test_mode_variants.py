@@ -26,6 +26,7 @@ def _small():
     return tiny_config(n_ag=6, n_mp=20, n_tl=6, n_step=13, hidden_dim=32)
 
 
+@pytest.mark.slow
 def test_navi_goal():
     cfg = _small()
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, navi_mode="goal"))

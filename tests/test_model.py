@@ -117,6 +117,7 @@ def test_full_pipeline_step(setup):
     assert np.abs(np.asarray(a_rnd) - np.asarray(action_dist.mean))[valid].sum() > 0
 
 
+@pytest.mark.slow
 def test_gradients_flow(setup):
     cfg, pp, model, params, step_args = setup
 

@@ -24,6 +24,7 @@ def setup():
     return cfg, batch, model, params
 
 
+@pytest.mark.slow
 def test_rnn_training_forward(setup):
     cfg, batch, model, params = setup
     loss, metrics = training_forward(cfg, model, params, batch, jax.random.PRNGKey(1))

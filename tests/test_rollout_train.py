@@ -96,6 +96,7 @@ def test_rollout_teacher_forcing_reconstruction(setup):
     assert (forced | ~gt).all()
 
 
+@pytest.mark.slow
 def test_training_forward_and_step(setup):
     cfg, batch, model, params = setup
     loss, metrics = training_forward(cfg, model, params, batch, jax.random.PRNGKey(7))
@@ -152,6 +153,7 @@ def test_wosac_collision_soa_matches_aos():
     assert bool(jnp.all(check_aos(pose, size, valid) == check_collided_wosac(pose, size, valid)))
 
 
+@pytest.mark.slow
 def test_navi_reprediction_rollout():
     """pred_navi_after_reached: in-scan navi re-prediction (waymo_motion.py:292-308)."""
     import dataclasses
