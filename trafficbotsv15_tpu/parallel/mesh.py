@@ -91,6 +91,38 @@ def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**14):
     return jax.tree_util.tree_map(shard_one, params)
 
 
+def tp_shard_params(params, mesh: Mesh):
+    """Tensor-parallel (megatron-style) parameter sharding over the MODEL axis.
+
+    Column-parallel projections (q/kv/rpe/ffn1: hidden -> wider) shard their
+    output dim; row-parallel ones (out_proj/ffn2: wider -> hidden) shard their
+    input dim. With GSPMD that is all that is needed — XLA propagates the
+    shardings through the matmuls and inserts the all-gather/reduce-scatter
+    collectives on the model axis. Everything else (LayerNorm scales, biases
+    of row-parallel layers, embeddings) stays replicated.
+
+    Used by scaled_config-and-beyond models whose hidden dims outgrow one
+    chip; the flagship 10M model runs pure data-parallel."""
+    n_model = mesh.shape[MODEL_AXIS]
+    # (name, axis-to-shard): column-parallel = output dim 1, row-parallel = input dim 0
+    col = ("q_proj", "kv_w", "rpe_proj_w", "ffn1")
+    row = ("out_proj", "ffn2")
+
+    def shard_one(path, p):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        spec = [None] * p.ndim
+        if p.ndim >= 1 and any(c in n for n in keys for c in col):
+            axis = p.ndim - 1  # output dim (kernels AND their biases)
+            if p.shape[axis] % n_model == 0:
+                spec[axis] = MODEL_AXIS
+        elif p.ndim >= 2 and any(r in n for n in keys for r in row):
+            if p.shape[0] % n_model == 0:
+                spec[0] = MODEL_AXIS
+        return jax.device_put(p, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map_with_path(shard_one, params)
+
+
 def device_prefetch(iterator, sharding, depth: int = 2, skip_keys=("scenario_bytes",)):
     """Overlap host->device transfer with compute: keep `depth` batches in
     flight on the device (the pin_memory/prefetch role of the reference's
