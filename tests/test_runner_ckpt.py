@@ -49,6 +49,14 @@ def test_checkpoint_roundtrip(tmp_path):
                                  config_overrides={"n_joint_future_wosac": 128})
     assert cfg3.n_joint_future_wosac == 128
 
+    # partial restore: fit checkpoints carry opt_state(+ema/swa); eval asks
+    # for params only — must subset instead of raising a structure mismatch
+    mgr.save_last({"params": params, "opt_state": {"mu": params}}, cfg, {"step": 8})
+    state, _, meta = mgr.restore("last", {"params": params})
+    assert set(state) == {"params"} and meta["step"] == 8
+    with pytest.raises(ValueError):
+        mgr.restore("last", {"params": params, "not_in_ckpt": params})
+
 
 @pytest.mark.slow
 def test_fit_wires_swa_and_ema(tmp_path):

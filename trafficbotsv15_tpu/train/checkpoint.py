@@ -66,7 +66,17 @@ class CheckpointManager:
             deep_update(cfg_dict, config_overrides)
         cfg = config_from_dict(cfg_dict)
         if example_state is not None:
-            state = self._ckptr.restore(path, example_state)
+            try:
+                state = self._ckptr.restore(path, example_state)
+            except ValueError:
+                # partial restore: the checkpoint holds more top-level entries
+                # than requested (fit saves params+opt_state(+ema/swa); eval
+                # only wants params) — restore raw and subset
+                full = self._ckptr.restore(path)
+                missing = set(example_state) - set(full)
+                if missing:
+                    raise
+                state = {k: full[k] for k in example_state}
         else:
             state = self._ckptr.restore(path)
         return state, cfg, info["meta"]
