@@ -89,6 +89,10 @@ def main():
 
     if os.environ.get("BENCH_REMAT"):  # full | dots | none
         cfg = dataclasses.replace(cfg, remat_policy=os.environ["BENCH_REMAT"])
+    if os.environ.get("BENCH_USE_PALLAS") == "1":
+        m = cfg.model
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            m, tf_cfg=dataclasses.replace(m.tf_cfg, use_pallas=True)))
     if os.environ.get("BENCH_DROPOUT0") == "1":
         m = cfg.model
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(

@@ -60,3 +60,52 @@ def test_backward_matches_reference():
     grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, rpe, w, b)
     for name, a, e in zip("q k v rpe w b".split(), grads_pl, grads_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4, err_msg=name)
+
+
+# ---------------------------------------------------------------- v2 kernel
+from trafficbotsv15_tpu.ops.pallas_knarpe import (  # noqa: E402
+    knarpe_cross_attention,
+    knarpe_cross_attention_reference,
+)
+
+
+def _make_x_inputs(n_b, n_s, n_knn, n_head, d_head, r):
+    d_model = n_head * d_head
+    q = jnp.asarray(RNG.normal(size=(n_b, n_s, d_model)).astype(np.float32))
+    tgt = jnp.asarray(RNG.normal(size=(n_b, n_s, n_knn, d_model)).astype(np.float32))
+    rpe = jnp.asarray(RNG.normal(size=(n_b, n_s, n_knn, r)).astype(np.float32))
+    invalid = jnp.asarray(RNG.random((n_b, n_s, n_knn)) < 0.3)
+    invalid = invalid.at[0, 1].set(True)  # all-invalid row
+    w_kv = jnp.asarray(RNG.normal(size=(d_model, 2 * d_model)).astype(np.float32)) * 0.1
+    w_rpe = jnp.asarray(RNG.normal(size=(r, 2 * d_model)).astype(np.float32)) * 0.1
+    b = jnp.asarray(RNG.normal(size=(2 * d_model,)).astype(np.float32)) * 0.1
+    return q, tgt, rpe, invalid, w_kv, w_rpe, b
+
+
+@pytest.mark.parametrize("n_s,s_tile", [(8, 4), (10, 4)])
+def test_cross_forward_matches_reference(n_s, s_tile):
+    n_b, n_knn, n_head, d_head, r = 2, 5, 2, 8, 16
+    q, tgt, rpe, invalid, w_kv, w_rpe, b = _make_x_inputs(n_b, n_s, n_knn, n_head, d_head, r)
+    expected = knarpe_cross_attention_reference(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head)
+    got = knarpe_cross_attention(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head, s_tile, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got)[0, 1], 0.0)
+
+
+def test_cross_backward_matches_reference():
+    n_b, n_s, n_knn, n_head, d_head, r = 2, 8, 4, 2, 8, 16
+    q, tgt, rpe, invalid, w_kv, w_rpe, b = _make_x_inputs(n_b, n_s, n_knn, n_head, d_head, r)
+    g = jnp.asarray(RNG.normal(size=(n_b, n_s, n_head * d_head)).astype(np.float32))
+
+    def loss_pallas(q, tgt, rpe, w_kv, w_rpe, b):
+        out = knarpe_cross_attention(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head, 4, True)
+        return jnp.sum(out * g)
+
+    def loss_ref(q, tgt, rpe, w_kv, w_rpe, b):
+        out = knarpe_cross_attention_reference(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head)
+        return jnp.sum(out * g)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4, 5))(q, tgt, rpe, w_kv, w_rpe, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(q, tgt, rpe, w_kv, w_rpe, b)
+    for a, e, name in zip(gp, gr, ("dq", "dtgt", "drpe", "dw_kv", "dw_rpe", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4, err_msg=name)

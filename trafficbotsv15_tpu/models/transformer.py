@@ -225,11 +225,11 @@ class AttentionRPE(nn.Module):
             return out
 
         dense_knn = tgt_idx is not None and not self.apply_q_rpe and n_src <= _dense_knn_max()
-        fused_kv_rpe = (  # cross-attn over per-source KNN targets with rpe:
-            # fold the rpe projection into the kv matmul (one concat matmul)
+        fused_kv_rpe = (  # cross-attn over per-source RAW KNN targets with rpe:
+            # fold the rpe projection into the kv matmul (one concat matmul on
+            # XLA; the fully-fused v2 Pallas kernel when use_pallas)
             tgt is not None and tgt.ndim == 4 and rpe is not None
             and rpe_kv_static is None and not self.apply_q_rpe
-            and not (self.use_pallas and self.d_rpe > 0)
         )
         if tgt_idx is not None and not dense_knn:
             # KNN self-attention: project the n_src tokens once, THEN gather —
@@ -273,7 +273,10 @@ class AttentionRPE(nn.Module):
                 pallas_available,
             )
 
-            if rpe is not None and not self.apply_q_rpe and self.use_pallas and pallas_available():
+            if (rpe is not None and not self.apply_q_rpe and not fused_kv_rpe
+                    and self.use_pallas and pallas_available()):
+                # v1 kernel: k/v already projected (tgt_idx project-then-gather
+                # path); fuses the rpe projection + attention
                 assert self.d_rpe > 0
                 w_rpe, b_rpe = self._rpe_wb()
                 inv = tgt_padding_mask
@@ -291,9 +294,39 @@ class AttentionRPE(nn.Module):
                     ),
                 )
             elif fused_kv_rpe:
-                # one concat matmul produces k+rpe_k / v+rpe_v directly
-                k, v = self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln)
-                out, _ = knn_attention(q, k, v, tgt_padding_mask)
+                if self.use_pallas and pallas_available():
+                    # v2 kernel: kv + rpe projections AND the attention fused
+                    # in VMEM — the [.., K, 2*d_model] projection output never
+                    # touches HBM. LN scale/bias pre-folded into the weights.
+                    from trafficbotsv15_tpu.ops.pallas_knarpe import (
+                        knarpe_cross_attention,
+                        knarpe_cross_attention_reference,
+                    )
+
+                    wk, bk = self._kv_wb()
+                    wr, br = self._rpe_wb()
+                    if tgt_ln is not None:
+                        gamma, beta = tgt_ln
+                        bk = beta @ wk if bk is None else bk + beta @ wk
+                        wk = gamma[:, None] * wk
+                    b_all = (br if bk is None else bk + br).astype(self.dtype)
+                    inv = tgt_padding_mask
+                    if inv is None:
+                        inv = jnp.zeros((n_b, n_src, n_knn), bool)
+                    args = (
+                        q.reshape(n_b, n_src, self.d_model), tgt.astype(self.dtype),
+                        rpe.astype(self.dtype), inv,
+                        wk.astype(self.dtype), wr.astype(self.dtype), b_all,
+                    )
+                    out = jax.lax.platform_dependent(
+                        *args,
+                        tpu=lambda *a: knarpe_cross_attention(*a, self.n_head),
+                        default=lambda *a: knarpe_cross_attention_reference(*a, self.n_head),
+                    )
+                else:
+                    # one concat matmul produces k+rpe_k / v+rpe_v directly
+                    k, v = self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln)
+                    out, _ = knn_attention(q, k, v, tgt_padding_mask)
             else:
                 k = k.reshape(n_b, n_src, n_knn, self.n_head, d_head)
                 v = v.reshape(n_b, n_src, n_knn, self.n_head, d_head)
@@ -508,8 +541,10 @@ class TransformerBlock(nn.Module):
             return caches
         if tgt is not None and tgt.ndim == 4 and self.mode != "enc_self_attn":
             # standardize the KNN cross targets ONCE; per-layer LayerNorms
-            # differ only by scale/bias, which fold into the kv projections
-            tgt = standardize(tgt)
+            # differ only by scale/bias, which fold into the kv projections.
+            # cast to the compute dtype here: the f32 standardize output would
+            # otherwise be re-read at twice the bytes by every layer
+            tgt = standardize(tgt).astype(self.dtype)
             tgt_standardized = True
         else:
             tgt_standardized = False

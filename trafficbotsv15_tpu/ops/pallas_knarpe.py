@@ -344,3 +344,281 @@ knarpe_attention.defvjp(_fwd, _bwd)
 def knarpe_attention_reference(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head: int):
     """Public XLA fallback with the same signature (CPU tests, non-TPU backends)."""
     return _reference(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head)
+
+
+# --------------------------------------------------------------------------
+# v2: cross-attention over RAW (standardized) targets — fuses BOTH the kv and
+# rpe projections with the attention. The XLA path materializes k+rpe_k /
+# v+rpe_v [B, S, K, 2*d_model] in HBM per layer (~93 MB at flagship rollout
+# shapes) and lowers the per-source logits to VPU multiply-reduce with layout
+# copies around the k/v split; here the projection output never leaves VMEM.
+#
+#     kk|vv = tgt @ W_kv' + rpe @ W_rpe + b'      (two MXU dots per tile)
+#     out   = maskedsoftmax(q.kk) . vv            (v1 attention core)
+#
+# LayerNorm of the targets is folded into W_kv'/b' by the caller
+# (AttentionRPE._project_kv_plus_rpe semantics with ln=(gamma, beta)).
+# --------------------------------------------------------------------------
+
+
+def _x_fwd_kernel(q_ref, tgt_ref, rpe_ref, inv_ref, wk_ref, wr_ref, b_ref,
+                  seg_ref, segT_ref, out_ref, *, n_head: int):
+    _, s_tile, n_knn, d_model = tgt_ref.shape
+    r = rpe_ref.shape[-1]
+    scale = 1.0 / (d_model // n_head) ** 0.5
+
+    q = q_ref[...].reshape(s_tile, d_model).astype(jnp.float32)
+    tgt = tgt_ref[...].reshape(s_tile * n_knn, d_model)
+    rpe = rpe_ref[...].reshape(s_tile * n_knn, r)
+    inv = inv_ref[...].reshape(s_tile, n_knn).astype(jnp.float32)[:, :, None] > 0.0
+    seg, segT = seg_ref[...], segT_ref[...]
+
+    kv = (
+        jnp.dot(tgt, wk_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(rpe, wr_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...].astype(jnp.float32)
+    )
+    kk3 = kv[:, :d_model].reshape(s_tile, n_knn, d_model)
+    vv3 = kv[:, d_model:].reshape(s_tile, n_knn, d_model)
+
+    prod = q[:, None, :] * kk3
+    logits = jnp.dot(
+        prod.reshape(s_tile * n_knn, d_model), seg, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, n_head) * scale
+    logits = jnp.where(inv, _MASK, logits)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    e = jnp.where(inv, 0.0, e)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    no_valid = denom <= 0.0
+    attn = e / jnp.where(no_valid, 1.0, denom)
+
+    attn_full = jnp.dot(
+        attn.reshape(s_tile * n_knn, n_head), segT, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, d_model)
+    out = jnp.sum(attn_full * vv3, axis=1)
+    nv_full = jnp.dot(no_valid.reshape(s_tile, n_head).astype(jnp.float32), segT,
+                      preferred_element_type=jnp.float32)
+    out = jnp.where(nv_full > 0.0, 0.0, out)
+    out_ref[...] = out.reshape(1, s_tile, d_model).astype(out_ref.dtype)
+
+
+def _knarpe_x_fwd_pallas(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head: int,
+                         s_tile: int = 64, interpret: bool = False):
+    n_b, n_s, n_knn, d_model = tgt.shape
+    r = rpe.shape[-1]
+    if n_b > 1:
+        out = _knarpe_x_fwd_pallas(
+            q.reshape(1, n_b * n_s, d_model),
+            tgt.reshape(1, n_b * n_s, n_knn, d_model),
+            rpe.reshape(1, n_b * n_s, n_knn, r),
+            invalid.reshape(1, n_b * n_s, n_knn),
+            w_kv, w_rpe, b, n_head, s_tile, interpret,
+        )
+        return out.reshape(n_b, n_s, d_model)
+    s_tile = _pick_s_tile(n_s, s_tile)
+    grid = (n_b, pl.cdiv(n_s, s_tile))
+    seg, segT = _head_segments(d_model, n_head)
+
+    return pl.pallas_call(
+        functools.partial(_x_fwd_kernel, n_head=n_head),
+        out_shape=jax.ShapeDtypeStruct((n_b, n_s, d_model), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, s_tile, d_model), lambda b_, s: (b_, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, d_model), lambda b_, s: (b_, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, r), lambda b_, s: (b_, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn), lambda b_, s: (b_, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_model, 2 * d_model), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 2 * d_model), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * d_model,), lambda b_, s: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_model, n_head), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_head, d_model), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s_tile, d_model), lambda b_, s: (b_, s, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, tgt, rpe, invalid, w_kv, w_rpe, b, seg, segT)
+
+
+def _x_bwd_kernel(q_ref, tgt_ref, rpe_ref, inv_ref, wk_ref, wkT_ref, wr_ref, wrT_ref,
+                  b_ref, seg_ref, segT_ref, g_ref,
+                  dq_ref, dtgt_ref, drpe_ref, dwk_ref, dwr_ref, db_ref, *, n_head: int):
+    """Recompute-forward backward; dwk/dwr/db accumulate over the sequential
+    grid. dtgt/drpe come from the kv projections' transposes."""
+    _, s_tile, n_knn, d_model = tgt_ref.shape
+    r = rpe_ref.shape[-1]
+    scale = 1.0 / (d_model // n_head) ** 0.5
+
+    q = q_ref[...].reshape(s_tile, d_model).astype(jnp.float32)
+    tgt = tgt_ref[...].reshape(s_tile * n_knn, d_model)
+    rpe = rpe_ref[...].reshape(s_tile * n_knn, r)
+    inv = inv_ref[...].reshape(s_tile, n_knn).astype(jnp.float32)[:, :, None] > 0.0
+    seg, segT = seg_ref[...], segT_ref[...]
+    g = g_ref[...].reshape(s_tile, d_model).astype(jnp.float32)
+
+    kv = (
+        jnp.dot(tgt, wk_ref[...], preferred_element_type=jnp.float32)
+        + jnp.dot(rpe, wr_ref[...], preferred_element_type=jnp.float32)
+        + b_ref[...].astype(jnp.float32)
+    )
+    kk3 = kv[:, :d_model].reshape(s_tile, n_knn, d_model)
+    vv3 = kv[:, d_model:].reshape(s_tile, n_knn, d_model)
+
+    prod = q[:, None, :] * kk3
+    logits = jnp.dot(
+        prod.reshape(s_tile * n_knn, d_model), seg, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, n_head) * scale
+    logits = jnp.where(inv, _MASK, logits)
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    e = jnp.where(inv, 0.0, e)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    no_valid = denom <= 0.0
+    attn = e / jnp.where(no_valid, 1.0, denom)
+
+    attn_full = jnp.dot(
+        attn.reshape(s_tile * n_knn, n_head), segT, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, d_model)
+    g3 = g[:, None, :]
+
+    dvv = attn_full * g3  # [s, K, D]
+    dattn = jnp.dot(
+        (g3 * vv3).reshape(s_tile * n_knn, d_model), seg, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, n_head)
+    s_dot = jnp.sum(attn * dattn, axis=1, keepdims=True)
+    dlogits = attn * (dattn - s_dot)
+    dlogits_full = jnp.dot(
+        dlogits.reshape(s_tile * n_knn, n_head), segT, preferred_element_type=jnp.float32
+    ).reshape(s_tile, n_knn, d_model) * scale
+    dq = jnp.sum(dlogits_full * kk3, axis=1)
+    dkk = dlogits_full * q[:, None, :]
+
+    dkv = jnp.concatenate(
+        [dkk.reshape(s_tile * n_knn, d_model), dvv.reshape(s_tile * n_knn, d_model)], axis=-1
+    )  # [s*K, 2D]
+    dtgt = jnp.dot(dkv, wkT_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+    drpe = jnp.dot(dkv, wrT_ref[...].astype(jnp.float32), preferred_element_type=jnp.float32)
+
+    dq_ref[...] = dq.reshape(1, s_tile, d_model).astype(dq_ref.dtype)
+    dtgt_ref[...] = dtgt.reshape(1, s_tile, n_knn, d_model).astype(dtgt_ref.dtype)
+    drpe_ref[...] = drpe.reshape(1, s_tile, n_knn, r).astype(drpe_ref.dtype)
+
+    dwk_tile = jax.lax.dot_general(
+        tgt.astype(jnp.float32), dkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dwr_tile = jax.lax.dot_general(
+        rpe.astype(jnp.float32), dkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db_tile = jnp.sum(dkv, axis=0, keepdims=True)
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dwr_ref[...] = jnp.zeros_like(dwr_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dwk_ref[...] += dwk_tile
+    dwr_ref[...] += dwr_tile
+    db_ref[...] += db_tile
+
+
+def _knarpe_x_bwd_pallas(q, tgt, rpe, invalid, w_kv, w_rpe, b, g, n_head: int,
+                         s_tile: int = 64, interpret: bool = False):
+    n_b, n_s, n_knn, d_model = tgt.shape
+    r = rpe.shape[-1]
+    if n_b > 1:
+        grads = _knarpe_x_bwd_pallas(
+            q.reshape(1, n_b * n_s, d_model),
+            tgt.reshape(1, n_b * n_s, n_knn, d_model),
+            rpe.reshape(1, n_b * n_s, n_knn, r),
+            invalid.reshape(1, n_b * n_s, n_knn),
+            w_kv, w_rpe, b,
+            g.reshape(1, n_b * n_s, d_model),
+            n_head, s_tile, interpret,
+        )
+        dq, dtgt, drpe, dwk, dwr, db = grads
+        return (dq.reshape(q.shape), dtgt.reshape(tgt.shape), drpe.reshape(rpe.shape),
+                dwk, dwr, db)
+    s_tile = _pick_s_tile(n_s, s_tile)
+    grid = (n_b, pl.cdiv(n_s, s_tile))
+    seg, segT = _head_segments(d_model, n_head)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(tgt.shape, tgt.dtype),
+        jax.ShapeDtypeStruct(rpe.shape, rpe.dtype),
+        jax.ShapeDtypeStruct((d_model, 2 * d_model), jnp.float32),
+        jax.ShapeDtypeStruct((r, 2 * d_model), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2 * d_model), jnp.float32),
+    )
+    dq, dtgt, drpe, dwk, dwr, db = pl.pallas_call(
+        functools.partial(_x_bwd_kernel, n_head=n_head),
+        out_shape=out_shapes,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, s_tile, d_model), lambda b_, s: (b_, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, d_model), lambda b_, s: (b_, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, r), lambda b_, s: (b_, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn), lambda b_, s: (b_, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_model, 2 * d_model), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * d_model, d_model), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 2 * d_model), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * d_model, r), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * d_model,), lambda b_, s: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_model, n_head), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_head, d_model), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, d_model), lambda b_, s: (b_, s, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, s_tile, d_model), lambda b_, s: (b_, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, d_model), lambda b_, s: (b_, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, n_knn, r), lambda b_, s: (b_, s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_model, 2 * d_model), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 2 * d_model), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * d_model), lambda b_, s: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(q, tgt, rpe, invalid, w_kv, jnp.swapaxes(w_kv, 0, 1), w_rpe,
+      jnp.swapaxes(w_rpe, 0, 1), b, seg, segT, g)
+    return (dq, dtgt, drpe, dwk.astype(w_kv.dtype), dwr.astype(w_rpe.dtype),
+            db.reshape(-1).astype(b.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def knarpe_cross_attention(q, tgt, rpe, invalid, w_kv, w_rpe, b,
+                           n_head: int, s_tile: int = 64, interpret: bool = False):
+    """Fused cross-attention over raw targets: both the kv and rpe projections
+    run inside the kernel (VMEM), nothing [.., K, 2*d_model] touches HBM.
+
+    q [B,S,D], tgt [B,S,K,D] (standardized; LN scale/bias pre-folded into
+    w_kv/b by the caller), rpe [B,S,K,R], invalid [B,S,K] bool,
+    w_kv [D,2D], w_rpe [R,2D], b [2D]. Returns [B,S,D]."""
+    return _knarpe_x_fwd_pallas(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head, s_tile, interpret)
+
+
+def _x_fwd(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head, s_tile, interpret):
+    out = _knarpe_x_fwd_pallas(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head, s_tile, interpret)
+    return out, (q, tgt, rpe, invalid, w_kv, w_rpe, b)
+
+
+def _x_bwd(n_head, s_tile, interpret, residuals, g):
+    q, tgt, rpe, invalid, w_kv, w_rpe, b = residuals
+    dq, dtgt, drpe, dwk, dwr, db = _knarpe_x_bwd_pallas(
+        q, tgt, rpe, invalid, w_kv, w_rpe, b, g, n_head, s_tile, interpret
+    )
+    return dq, dtgt, drpe, None, dwk, dwr, db
+
+
+knarpe_cross_attention.defvjp(_x_fwd, _x_bwd)
+
+
+def knarpe_cross_attention_reference(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head: int):
+    """XLA path with identical math (ground truth for tests + non-TPU backends)."""
+    n_b, n_s, n_knn, d_model = tgt.shape
+    kv = (tgt.reshape(-1, d_model) @ w_kv + rpe.reshape(-1, rpe.shape[-1]) @ w_rpe + b)
+    kv = kv.reshape(n_b, n_s, n_knn, 2 * d_model)
+    d_head = d_model // n_head
+    k = kv[..., :d_model].reshape(n_b, n_s, n_knn, n_head, d_head)
+    v = kv[..., d_model:].reshape(n_b, n_s, n_knn, n_head, d_head)
+    out, _ = knn_attention(q.reshape(n_b, n_s, n_head, d_head), k, v, invalid)
+    return out.reshape(n_b, n_s, d_model)
