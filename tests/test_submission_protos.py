@@ -192,3 +192,49 @@ def test_pack_waymo_inputs_ordering():
     assert packed["object_type"][0, 0] == 3.0  # agent 2 has type index 2
     assert packed["object_type"][0, 1] == 1.0
     assert packed["object_type"][0, 2] == 1.0
+
+
+def test_submission_pipeline_end_to_end(tmp_path, monkeypatch):
+    """The full action=test pipeline (joint-future K rollout -> WOMD 32->6
+    post-processing -> WOSAC best-32 filter + global frame -> proto shards +
+    tars) against the stub protos (runner.py::test_submission; reference
+    waymo_motion.py:843-931)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trafficbotsv15_tpu.config import tiny_config
+    from trafficbotsv15_tpu.data.synthetic import make_batch
+    from trafficbotsv15_tpu.eval.runner import test_submission
+    from trafficbotsv15_tpu.train.pipeline import build_model, init_params
+    from waymo_open_dataset.protos import motion_submission_pb2 as mpb
+    from waymo_open_dataset.protos import sim_agents_submission_pb2 as spb
+
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_config()
+    batch_np = make_batch(cfg.data, n_sc=2, seed=5, test_mode=True)
+    # params init uses the train schema; the submission runs on the test schema
+    init_batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=2, seed=5).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, init_batch, jax.random.PRNGKey(0))
+
+    womd_tar, wosac_tar = test_submission(
+        cfg, [batch_np], params, out_dir=str(tmp_path), n_joint_future=4)
+
+    assert womd_tar and wosac_tar
+    womd_bin = next(tmp_path.glob("*_WOMD/*_WOMD.bin"))
+    msg = mpb.MotionChallengeSubmission.FromString(womd_bin.read_bytes())
+    assert len(msg.scenario_predictions) == 2
+    assert msg.scenario_predictions[0].scenario_id.startswith("synthetic_5_0")
+
+    shard = next((tmp_path / "WOSAC").glob("submission.binproto-00000"))
+    sub = spb.SimAgentsChallengeSubmission.FromString(shard.read_bytes())
+    assert len(sub.scenario_rollouts) == 2
+    r = sub.scenario_rollouts[0]
+    # K futures survive the best-32 filter unchanged when K < 32
+    assert len(r.joint_scenes) == 4
+    n_sim = int(batch_np["history/agent/valid"][0, :, cfg.time_step_current].sum())
+    n_ns = int(batch_np["history/agent_no_sim/valid"][0, :, cfg.time_step_current].sum())
+    assert len(r.joint_scenes[0].simulated_trajectories) == n_sim + n_ns
+    # trajectories cover exactly the future horizon
+    t = r.joint_scenes[0].simulated_trajectories[0]
+    assert len(t.center_x) == cfg.time_step_gt - cfg.time_step_current

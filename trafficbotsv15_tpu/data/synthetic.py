@@ -165,4 +165,21 @@ def make_batch(cfg: DataCfg, n_sc: int = 2, seed: int = 0, test_mode: bool = Fal
             hist.pop(k, None)
         hist["history/agent/valid"] = hist["history/agent/valid"][:, :, :nh]
         batch.update(hist)
+        # submission metadata (test split carries these: pack_h5_womd.py attrs
+        # + data_h5_womd.py:136-173 agent_no_sim arrays)
+        sid = np.zeros((n_sc, 16), np.int32)
+        for i in range(n_sc):
+            for j, ch in enumerate(f"synthetic_{seed}_{i}"[:16]):
+                sid[i, j] = ord(ch)
+        batch["scenario_id"] = sid
+        batch["scenario_center"] = rng.normal(size=(n_sc, 2)).astype(np.float32) * 100
+        batch["scenario_yaw"] = rng.uniform(-np.pi, np.pi, size=(n_sc,)).astype(np.float32)
+        batch["history/agent/object_id"] = np.arange(n_sc * cfg.n_ag).reshape(n_sc, cfg.n_ag) + 1
+        n_ns = cfg.n_ag_no_sim
+        batch["history/agent_no_sim/valid"] = np.ones((n_sc, n_ns, nh), bool)
+        batch["history/agent_no_sim/pos"] = rng.normal(size=(n_sc, n_ns, nh, 3)).astype(np.float32) * 30
+        batch["history/agent_no_sim/yaw_bbox"] = rng.uniform(
+            -np.pi, np.pi, size=(n_sc, n_ns, nh, 1)).astype(np.float32)
+        batch["history/agent_no_sim/object_id"] = (
+            np.arange(n_sc * n_ns).reshape(n_sc, n_ns) + 10_000)
     return batch
