@@ -51,3 +51,22 @@ def test_ln_fold_exact_without_rpe():
     k2, v2 = mod.apply(params, None, ln_tgt, compute_static_kv=True)
     np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), atol=2e-5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=2e-5)
+
+
+def test_knn_attention_fullwidth_matches_split():
+    from trafficbotsv15_tpu.ops.attention import knn_attention, knn_attention_fullwidth
+
+    key = jax.random.PRNGKey(7)
+    b, s, K, h, dh = 2, 5, 6, 2, 16
+    D = h * dh
+    q = jax.random.normal(key, (b, s, D))
+    kf = jax.random.normal(jax.random.fold_in(key, 1), (b, s, K, D))
+    vf = jax.random.normal(jax.random.fold_in(key, 2), (b, s, K, D))
+    invalid = jax.random.uniform(jax.random.fold_in(key, 3), (b, s, K)) < 0.3
+    invalid = invalid.at[0, 1].set(True)  # all-invalid row -> zero output
+
+    ref, _ = knn_attention(
+        q.reshape(b, s, h, dh), kf.reshape(b, s, K, h, dh), vf.reshape(b, s, K, h, dh), invalid)
+    got = knn_attention_fullwidth(q, kf, vf, invalid, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got)[0, 1], 0.0)

@@ -40,6 +40,14 @@ def standardize(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     return (x32 - mu) * jax.lax.rsqrt(var + eps)
 
 
+def _seg_attn() -> bool:
+    """A/B switch: head-segment matmul attention for the fused KNN cross-attn
+    (knn_attention_fullwidth) instead of the head-split einsum path."""
+    import os
+
+    return os.environ.get("TB_SEG_ATTN", "1") == "1"
+
+
 def _dense_knn_max() -> int:
     """KNN self-attention over token sets up to this size runs as dense masked
     attention (zero gathers; the KNN restriction becomes a mask built from the
@@ -145,7 +153,7 @@ class AttentionRPE(nn.Module):
         y = x.astype(self.dtype) @ w.astype(self.dtype)
         return y if b is None else y + b.astype(self.dtype)
 
-    def _project_kv_plus_rpe(self, tgt, rpe, ln=None):
+    def _project_kv_plus_rpe(self, tgt, rpe, ln=None, split_heads=True):
         """(k + rpe_k, v + rpe_v) as ONE matmul over concatenated features:
         tgt @ W_kv + rpe @ W_rpe == [tgt ⊕ rpe] @ [W_kv; W_rpe]. Halves the
         large [.., K, 2*d_model] output traffic of the per-step cross-attn
@@ -165,6 +173,8 @@ class AttentionRPE(nn.Module):
         b = br if bk is None else bk + br
         y = cat @ w + b.astype(self.dtype)
         k, v = jnp.split(y, 2, axis=-1)
+        if not split_heads:
+            return k, v  # full-width [.., K, d_model] halves
         shape = tgt.shape[:-1] + (self.n_head, self.d_model // self.n_head)
         return k.reshape(shape), v.reshape(shape)
 
@@ -202,10 +212,14 @@ class AttentionRPE(nn.Module):
                 assert rpe is not None and self.d_rpe > 0 and not self.apply_q_rpe
                 return self._rpe_kv(rpe)
             assert tgt.ndim == 4
+            split = not _seg_attn()  # fullwidth storage when the consumer is
+            # knn_attention_fullwidth (head-segment matmul path)
             if rpe is not None:
                 assert self.d_rpe > 0 and not self.apply_q_rpe
-                return self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln)
+                return self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln, split_heads=split)
             k, v = jnp.split(self._project_kv(tgt, ln=tgt_ln), 2, axis=-1)
+            if not split:
+                return k, v
             shape = tgt.shape[:-1] + (self.n_head, d_head)
             return k.reshape(shape), v.reshape(shape)
 
@@ -215,7 +229,14 @@ class AttentionRPE(nn.Module):
         q = q.reshape(n_b, n_src, self.n_head, d_head)
 
         if kv_static is not None:
-            out, _ = knn_attention(q, kv_static[0], kv_static[1], tgt_padding_mask)
+            if kv_static[0].ndim == 4:  # fullwidth [b, s, K, d_model] halves
+                from trafficbotsv15_tpu.ops.attention import knn_attention_fullwidth
+
+                out = knn_attention_fullwidth(
+                    q.reshape(n_b, n_src, self.d_model),
+                    kv_static[0], kv_static[1], tgt_padding_mask, self.n_head)
+            else:
+                out, _ = knn_attention(q, kv_static[0], kv_static[1], tgt_padding_mask)
             if self.dropout_p > 0:
                 out = nn.Dropout(self.dropout_p, deterministic=deterministic, name="attn_drop")(out)
             out = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="out_proj")(out)
@@ -323,10 +344,29 @@ class AttentionRPE(nn.Module):
                         tpu=lambda *a: knarpe_cross_attention(*a, self.n_head),
                         default=lambda *a: knarpe_cross_attention_reference(*a, self.n_head),
                     )
+                elif _seg_attn():
+                    # head-segment matmul attention on the full-width halves:
+                    # no head split, no layout copies, q.k rides the MXU
+                    from trafficbotsv15_tpu.ops.attention import knn_attention_fullwidth
+
+                    kf, vf = self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln, split_heads=False)
+                    out = knn_attention_fullwidth(
+                        q.reshape(n_b, n_src, self.d_model), kf, vf,
+                        tgt_padding_mask, self.n_head,
+                    )
                 else:
                     # one concat matmul produces k+rpe_k / v+rpe_v directly
                     k, v = self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln)
                     out, _ = knn_attention(q, k, v, tgt_padding_mask)
+            elif rpe is None and rpe_kv_static is None and _seg_attn():
+                # no-rpe KNN cross attention (scene-centric mode): same
+                # head-segment matmul formulation, no head split
+                from trafficbotsv15_tpu.ops.attention import knn_attention_fullwidth
+
+                out = knn_attention_fullwidth(
+                    q.reshape(n_b, n_src, self.d_model), k, v,
+                    tgt_padding_mask, self.n_head,
+                )
             else:
                 k = k.reshape(n_b, n_src, n_knn, self.n_head, d_head)
                 v = v.reshape(n_b, n_src, n_knn, self.n_head, d_head)

@@ -63,6 +63,36 @@ def dense_attention(
     return out.reshape(n_b, n_src, -1), attn
 
 
+def knn_attention_fullwidth(
+    q: jnp.ndarray,  # [n_b, n_src, d_model]
+    kf: jnp.ndarray,  # [n_b, n_src, n_knn, d_model]  (k + rpe_k, full width)
+    vf: jnp.ndarray,  # [n_b, n_src, n_knn, d_model]
+    invalid: Optional[jnp.ndarray],  # [n_b, n_src, n_knn] bool or None
+    n_head: int,
+) -> jnp.ndarray:
+    """knn_attention on full-width (pre-head-split) K/V via head-segment
+    matmuls: the per-head q.k reduction runs as [.., d_model] @ [d_model,
+    n_head] on the MXU instead of a transposed VPU multiply-reduce, and no
+    [.., K, d_model] layout copies are needed around a head split. Exact same
+    math as knn_attention (sum reassociation only). Returns [n_b, n_src,
+    d_model]."""
+    n_b, n_src, n_knn, d_model = kf.shape
+    d_head = d_model // n_head
+    seg = (jnp.arange(d_model)[:, None] // d_head == jnp.arange(n_head)[None, :]).astype(q.dtype)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
+
+    prod = q[:, :, None, :] * kf  # [b, s, K, D], minor dim untouched
+    logits = jnp.einsum("bskd,dh->bshk", prod.astype(jnp.float32), seg.astype(jnp.float32)) * scale
+    inv = None if invalid is None else invalid[:, :, None, :]
+    attn, no_valid = _masked_softmax(logits, inv)  # [b, s, h, K]
+    attn_full = jnp.einsum("bshk,hd->bskd", attn.astype(q.dtype), seg.T)
+    out = jnp.sum(attn_full * vf, axis=2)  # [b, s, D]
+    if no_valid is not None:
+        nv_full = jnp.einsum("bsh,hd->bsd", no_valid.astype(q.dtype), seg.T)
+        out = jnp.where(nv_full > 0, 0.0, out)
+    return out
+
+
 def knn_attention(
     q: jnp.ndarray,  # [n_b, n_src, n_head, d_head]
     k: jnp.ndarray,  # [n_b, n_src, n_knn, n_head, d_head]
