@@ -70,3 +70,21 @@ def test_knn_attention_fullwidth_matches_split():
     got = knn_attention_fullwidth(q, kf, vf, invalid, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(got)[0, 1], 0.0)
+
+
+def test_pe_xy_dir_fast_path_bit_exact():
+    """The one-shot angle-tensor pe_xy_dir equals the per-quantity
+    sinusoid_embed concat bit-for-bit (same values, same feature order)."""
+    from trafficbotsv15_tpu.ops.pose_emb import _as_cos_sin, pose_embed_pe_xy_dir, sinusoid_embed
+
+    key = jax.random.PRNGKey(11)
+    xy = jax.random.normal(key, (3, 5, 2)) * 40
+    dirn = jax.random.normal(jax.random.fold_in(key, 1), (3, 5, 1))
+    d = _as_cos_sin(dirn)
+    for pe_dim in (64, 128):
+        got = pose_embed_pe_xy_dir(xy, dirn, pe_dim, 1e3, 1e1)
+        q = pe_dim // 4
+        ref = jnp.concatenate([
+            sinusoid_embed(xy[..., 0], q, 1e3), sinusoid_embed(xy[..., 1], q, 1e3),
+            sinusoid_embed(d[..., 0], q, 1e1), sinusoid_embed(d[..., 1], q, 1e1)], -1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
