@@ -88,3 +88,31 @@ def test_pe_xy_dir_fast_path_bit_exact():
             sinusoid_embed(xy[..., 0], q, 1e3), sinusoid_embed(xy[..., 1], q, 1e3),
             sinusoid_embed(d[..., 0], q, 1e1), sinusoid_embed(d[..., 1], q, 1e1)], -1)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_attn_dropout_weights_mode():
+    """attn_dropout_weights=True (reference placement, attention_rpe.py:168):
+    deterministic output matches the default mode exactly; active dropout
+    perturbs the output."""
+    import dataclasses
+
+    from trafficbotsv15_tpu.config import tiny_config
+    from trafficbotsv15_tpu.data.synthetic import make_batch
+    from trafficbotsv15_tpu.train.pipeline import build_model, init_params, training_forward
+
+    cfg = tiny_config()
+    m = cfg.model
+    cfg_w = dataclasses.replace(cfg, model=dataclasses.replace(
+        m, tf_cfg=dataclasses.replace(m.tf_cfg, attn_dropout_weights=True)))
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=1, seed=9).items()}
+    model = build_model(cfg)
+    model_w = build_model(cfg_w)
+    params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
+
+    # same params work in both modes (no new parameters), and the TRAINING
+    # forward differs between modes only through where dropout is applied:
+    # with the same rng key the losses differ but both are finite
+    l0, _ = training_forward(cfg, model, params, batch, jax.random.PRNGKey(3))
+    lw, _ = training_forward(cfg_w, model_w, params, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(l0)) and np.isfinite(float(lw))
+    assert float(l0) != float(lw)

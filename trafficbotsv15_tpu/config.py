@@ -27,6 +27,11 @@ class TransformerCfg:
     out_layernorm: bool = False
     apply_q_rpe: bool = False
     use_pallas: bool = False  # v1 KNARPE kernel: measured slower than XLA in-scan (docs/PERF.md)
+    # True = drop attention WEIGHTS like the reference (attention_rpe.py:168);
+    # False (default) = drop the output-projection input — statistically
+    # equivalent regularization, cheaper on TPU (no [.., K]-shaped masks in
+    # the scan). Flip for exact-recipe parity runs.
+    attn_dropout_weights: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -79,6 +79,7 @@ class AgentEncoder(nn.Module):
             out_layernorm=self.tf_cfg.out_layernorm,
             apply_q_rpe=self.tf_cfg.apply_q_rpe,
             use_pallas=self.tf_cfg.use_pallas,
+            attn_dropout_weights=self.tf_cfg.attn_dropout_weights,
             n_layer=self.cfg.n_layer_tf,
             d_rpe=d_rpe,
             dtype=self.dtype,

@@ -253,6 +253,7 @@ class NaviPredictor(nn.Module):
             dropout_p=self.tf_cfg.dropout_p, bias=self.tf_cfg.bias, activation=self.tf_cfg.activation,
             out_layernorm=self.tf_cfg.out_layernorm, apply_q_rpe=self.tf_cfg.apply_q_rpe,
             use_pallas=self.tf_cfg.use_pallas,
+            attn_dropout_weights=self.tf_cfg.attn_dropout_weights,
             n_layer=self.cfg.n_layer_tf, mode="enc_cross_attn",
             d_rpe=pose_emb_out_dim(self.pose_rpe) if self.pairwise_relative else -1,
             dtype=self.dtype, name="tf_ag2mp",

@@ -84,6 +84,7 @@ class TrafficLightEncoder(nn.Module):
                 out_layernorm=self.tf_cfg.out_layernorm,
                 apply_q_rpe=self.tf_cfg.apply_q_rpe,
                 use_pallas=self.tf_cfg.use_pallas,
+            attn_dropout_weights=self.tf_cfg.attn_dropout_weights,
                 n_layer=self.cfg.n_layer_tf,
                 mode="dec_cross_attn",
                 d_rpe=pose_emb_out_dim(self.pose_rpe) if self.pairwise_relative else -1,

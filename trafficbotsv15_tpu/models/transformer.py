@@ -72,9 +72,11 @@ class AttentionRPE(nn.Module):
     d_rpe: int = -1
     apply_q_rpe: bool = False
     use_pallas: bool = False
+    attn_dropout_weights: bool = False  # drop attention weights (reference) vs output input
     dtype: jnp.dtype = jnp.float32
 
-    def _dense_knn_attention(self, q, kv, tgt_idx, tgt_padding_mask, rpe, rpe_kv_static):
+    def _dense_knn_attention(self, q, kv, tgt_idx, tgt_padding_mask, rpe, rpe_kv_static,
+                             attn_drop_fn=None):
         """KNN self-attention computed as dense masked attention (no gathers).
 
         q:   [n_b, n_src, n_head, d_head]
@@ -118,6 +120,8 @@ class AttentionRPE(nn.Module):
         from trafficbotsv15_tpu.ops.attention import _masked_softmax
 
         attn, no_valid = _masked_softmax(logits, dense_invalid[:, :, None, :])
+        if attn_drop_fn is not None:
+            attn = attn_drop_fn(attn)
         out = jnp.einsum("bsht,bthd->bshd", attn, v)
         if rpe_v is not None:
             attn_knn = jnp.einsum("bshn,bskn->bskh", attn, onehot)
@@ -228,16 +232,25 @@ class AttentionRPE(nn.Module):
         q = dense_q(src)
         q = q.reshape(n_b, n_src, self.n_head, d_head)
 
+        # reference-parity option: dropout on the softmaxed attention WEIGHTS
+        # (attention_rpe.py:168) instead of the output-projection input
+        wdrop = None
+        if self.dropout_p > 0 and self.attn_dropout_weights:
+            wdrop_mod = nn.Dropout(self.dropout_p, deterministic=deterministic, name="attn_wdrop")
+            wdrop = lambda a: wdrop_mod(a)
+
         if kv_static is not None:
             if kv_static[0].ndim == 4:  # fullwidth [b, s, K, d_model] halves
                 from trafficbotsv15_tpu.ops.attention import knn_attention_fullwidth
 
                 out = knn_attention_fullwidth(
                     q.reshape(n_b, n_src, self.d_model),
-                    kv_static[0], kv_static[1], tgt_padding_mask, self.n_head)
+                    kv_static[0], kv_static[1], tgt_padding_mask, self.n_head,
+                    attn_drop_fn=wdrop)
             else:
-                out, _ = knn_attention(q, kv_static[0], kv_static[1], tgt_padding_mask)
-            if self.dropout_p > 0:
+                out, _ = knn_attention(q, kv_static[0], kv_static[1], tgt_padding_mask,
+                                       attn_drop_fn=wdrop)
+            if self.dropout_p > 0 and not self.attn_dropout_weights:
                 out = nn.Dropout(self.dropout_p, deterministic=deterministic, name="attn_drop")(out)
             out = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="out_proj")(out)
             if tgt_padding_mask is not None:
@@ -274,7 +287,8 @@ class AttentionRPE(nn.Module):
             # biggest cost after the bool-mask gathers.
             assert tgt is None
             out = self._dense_knn_attention(
-                q, self._project_kv(src), tgt_idx, tgt_padding_mask, rpe, rpe_kv_static
+                q, self._project_kv(src), tgt_idx, tgt_padding_mask, rpe, rpe_kv_static,
+                attn_drop_fn=wdrop,
             )
         elif tgt is None or tgt.ndim == 3:
             # dense attention over a shared target set
@@ -284,7 +298,7 @@ class AttentionRPE(nn.Module):
             invalid = tgt_padding_mask
             if invalid is not None and invalid.ndim == 2:
                 invalid = jnp.broadcast_to(invalid[:, None, :], (n_b, n_src, n_tgt))
-            out, _ = dense_attention(q, k, v, invalid)
+            out, _ = dense_attention(q, k, v, invalid, attn_drop_fn=wdrop)
         else:
             # per-source KNN targets [n_b, n_src, K, d]
             n_knn = tgt.shape[2]
@@ -295,7 +309,8 @@ class AttentionRPE(nn.Module):
             )
 
             if (rpe is not None and not self.apply_q_rpe and not fused_kv_rpe
-                    and self.use_pallas and pallas_available()):
+                    and self.use_pallas and pallas_available()
+                    and not self.attn_dropout_weights):
                 # v1 kernel: k/v already projected (tgt_idx project-then-gather
                 # path); fuses the rpe projection + attention
                 assert self.d_rpe > 0
@@ -315,7 +330,7 @@ class AttentionRPE(nn.Module):
                     ),
                 )
             elif fused_kv_rpe:
-                if self.use_pallas and pallas_available():
+                if self.use_pallas and pallas_available() and not self.attn_dropout_weights:
                     # v2 kernel: kv + rpe projections AND the attention fused
                     # in VMEM — the [.., K, 2*d_model] projection output never
                     # touches HBM. LN scale/bias pre-folded into the weights.
@@ -352,12 +367,12 @@ class AttentionRPE(nn.Module):
                     kf, vf = self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln, split_heads=False)
                     out = knn_attention_fullwidth(
                         q.reshape(n_b, n_src, self.d_model), kf, vf,
-                        tgt_padding_mask, self.n_head,
+                        tgt_padding_mask, self.n_head, attn_drop_fn=wdrop,
                     )
                 else:
                     # one concat matmul produces k+rpe_k / v+rpe_v directly
                     k, v = self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln)
-                    out, _ = knn_attention(q, k, v, tgt_padding_mask)
+                    out, _ = knn_attention(q, k, v, tgt_padding_mask, attn_drop_fn=wdrop)
             elif rpe is None and rpe_kv_static is None and _seg_attn():
                 # no-rpe KNN cross attention (scene-centric mode): same
                 # head-segment matmul formulation, no head split
@@ -365,7 +380,7 @@ class AttentionRPE(nn.Module):
 
                 out = knn_attention_fullwidth(
                     q.reshape(n_b, n_src, self.d_model), k, v,
-                    tgt_padding_mask, self.n_head,
+                    tgt_padding_mask, self.n_head, attn_drop_fn=wdrop,
                 )
             else:
                 k = k.reshape(n_b, n_src, n_knn, self.n_head, d_head)
@@ -386,11 +401,13 @@ class AttentionRPE(nn.Module):
                         rpe_v = parts[2].reshape(n_b, n_src, n_knn, self.n_head, d_head)
                     else:
                         rpe_k, rpe_v = self._rpe_kv(rpe)
-                out, _ = knn_attention(q, k, v, tgt_padding_mask, rpe_k=rpe_k, rpe_v=rpe_v, rpe_q=rpe_q)
+                out, _ = knn_attention(q, k, v, tgt_padding_mask, rpe_k=rpe_k, rpe_v=rpe_v, rpe_q=rpe_q,
+                                       attn_drop_fn=wdrop)
 
-        if self.dropout_p > 0:
-            # applied to the output projection input; the reference drops attention
-            # weights — statistically equivalent regularization, cheaper on TPU.
+        if self.dropout_p > 0 and not self.attn_dropout_weights:
+            # default: applied to the output-projection input; the reference drops
+            # attention weights — statistically equivalent regularization, cheaper
+            # on TPU. attn_dropout_weights=True restores the reference placement.
             out = nn.Dropout(self.dropout_p, deterministic=deterministic, name="attn_drop")(out)
         out = nn.Dense(self.d_model, use_bias=self.bias, kernel_init=_xavier, dtype=self.dtype, name="out_proj")(out)
 
@@ -415,6 +432,7 @@ class TransformerLayer(nn.Module):
     d_rpe: int = -1
     apply_q_rpe: bool = False
     use_pallas: bool = False
+    attn_dropout_weights: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _norm_tgt_params(self):
@@ -452,6 +470,7 @@ class TransformerLayer(nn.Module):
             d_rpe=self.d_rpe,
             apply_q_rpe=self.apply_q_rpe,
             use_pallas=self.use_pallas,
+            attn_dropout_weights=self.attn_dropout_weights,
             dtype=self.dtype,
         )
         drop = lambda name: nn.Dropout(self.dropout_p, deterministic=deterministic, name=name)
@@ -545,6 +564,7 @@ class TransformerBlock(nn.Module):
     out_layernorm: bool = False
     apply_q_rpe: bool = False
     use_pallas: bool = False
+    attn_dropout_weights: bool = False
     n_layer: int = 1
     mode: str = "enc_self_attn"
     d_rpe: int = -1
@@ -577,6 +597,7 @@ class TransformerBlock(nn.Module):
                     dropout_p=self.dropout_p, bias=self.bias, activation=self.activation,
                     mode=self.mode, d_rpe=self.d_rpe, apply_q_rpe=self.apply_q_rpe,
                     use_pallas=self.use_pallas, dtype=self.dtype, name=f"layer{i}",
+                    attn_dropout_weights=self.attn_dropout_weights,
                 )(None, tgt=tgt, rpe=rpe, decoder_rpe=decoder_rpe, compute_static_kv=True))
             return caches
         if tgt is not None and tgt.ndim == 4 and self.mode != "enc_self_attn":
@@ -601,6 +622,7 @@ class TransformerBlock(nn.Module):
                 d_rpe=self.d_rpe,
                 apply_q_rpe=self.apply_q_rpe,
                 use_pallas=self.use_pallas,
+                attn_dropout_weights=self.attn_dropout_weights,
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(

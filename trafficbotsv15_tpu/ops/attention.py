@@ -49,6 +49,7 @@ def dense_attention(
     k: jnp.ndarray,  # [n_b, n_tgt, n_head, d_head]
     v: jnp.ndarray,  # [n_b, n_tgt, n_head, d_head]
     invalid: Optional[jnp.ndarray],  # [n_b, n_src, n_tgt] bool or None
+    attn_drop_fn=None,  # optional fn applied to the softmaxed weights
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Standard MHA. Returns (out [n_b, n_src, n_head*d_head], attn [n_b, n_head, n_src, n_tgt])."""
     d_head = q.shape[-1]
@@ -56,6 +57,8 @@ def dense_attention(
     logits = jnp.einsum("bshd,bthd->bhst", q, k) * scale
     inv = None if invalid is None else invalid[:, None, :, :]
     attn, no_valid = _masked_softmax(logits, inv)
+    if attn_drop_fn is not None:
+        attn = attn_drop_fn(attn)
     out = jnp.einsum("bhst,bthd->bshd", attn, v)
     if no_valid is not None:
         out = jnp.where(no_valid.transpose(0, 2, 1)[..., None], 0.0, out)
@@ -69,6 +72,7 @@ def knn_attention_fullwidth(
     vf: jnp.ndarray,  # [n_b, n_src, n_knn, d_model]
     invalid: Optional[jnp.ndarray],  # [n_b, n_src, n_knn] bool or None
     n_head: int,
+    attn_drop_fn=None,  # optional fn applied to the softmaxed weights
 ) -> jnp.ndarray:
     """knn_attention on full-width (pre-head-split) K/V via head-segment
     matmuls: the per-head q.k reduction runs as [.., d_model] @ [d_model,
@@ -85,6 +89,8 @@ def knn_attention_fullwidth(
     logits = jnp.einsum("bskd,dh->bshk", prod.astype(jnp.float32), seg.astype(jnp.float32)) * scale
     inv = None if invalid is None else invalid[:, :, None, :]
     attn, no_valid = _masked_softmax(logits, inv)  # [b, s, h, K]
+    if attn_drop_fn is not None:
+        attn = attn_drop_fn(attn)
     attn_full = jnp.einsum("bshk,hd->bskd", attn.astype(q.dtype), seg.T)
     out = jnp.sum(attn_full * vf, axis=2)  # [b, s, D]
     if no_valid is not None:
@@ -101,6 +107,7 @@ def knn_attention(
     rpe_k: Optional[jnp.ndarray] = None,  # [n_b, n_src, n_knn, n_head, d_head]
     rpe_v: Optional[jnp.ndarray] = None,
     rpe_q: Optional[jnp.ndarray] = None,
+    attn_drop_fn=None,  # optional fn applied to the softmaxed weights
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """KNN/RPE attention with per-source gathered targets.
 
@@ -120,6 +127,8 @@ def knn_attention(
     logits = jnp.swapaxes(logits, 2, 3)  # [n_b, n_src, n_head, n_knn]
     inv = None if invalid is None else invalid[:, :, None, :]
     attn, no_valid = _masked_softmax(logits, inv)
+    if attn_drop_fn is not None:
+        attn = attn_drop_fn(attn)
     if rpe_v is not None:
         v = v + rpe_v
     out = jnp.einsum("bshk,bskhd->bshd", attn, v)
