@@ -79,7 +79,9 @@ def main():
     from trafficbotsv15_tpu.train.pipeline import build_model, init_params
 
     mode = os.environ.get("BENCH_MODE", "rollout")
-    n_sc = int(os.environ.get("BENCH_N_SC", "8" if mode == "train" else "2"))
+    # rollout default batch 4: the throughput sweet spot on v5e (batch 2 leaves
+    # fixed per-step costs unamortized, batch 8 pressures HBM; docs/PERF.md)
+    n_sc = int(os.environ.get("BENCH_N_SC", "8" if mode == "train" else "4"))
     n_future = int(os.environ.get("BENCH_N_FUTURE", "32"))
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     check_level = int(os.environ.get("BENCH_CHECK_LEVEL", "1"))

@@ -106,15 +106,31 @@ class AttentionRPE(nn.Module):
             dense_invalid = jnp.einsum("bskn->bsn", onehot) <= 0.0
 
         logits = jnp.einsum("bshd,bthd->bsht", q, k) * scale  # [b, s, h, t]
+        fullwidth_rpe = rpe_kv_static is not None and rpe_kv_static[0].ndim == 4
         if rpe_kv_static is not None:
-            rpe_k, rpe_v = rpe_kv_static
+            rpe_k, rpe_v = rpe_kv_static  # head-split [b,s,K,h,dh] or fullwidth [b,s,K,D]
         elif rpe is not None:
             assert self.d_rpe > 0
-            rpe_k, rpe_v = self._rpe_kv(rpe)  # [b, s, K, h, dh]
+            if _seg_attn():
+                # fullwidth rpe projection: the per-head q·rpe_k reduction runs
+                # as a head-segment matmul (MXU) instead of a transposed VPU
+                # multiply-reduce — same cure as knn_attention_fullwidth
+                rpe_proj = self._rpe_kv_fullwidth(rpe)
+                rpe_k, rpe_v = rpe_proj
+                fullwidth_rpe = True
+            else:
+                rpe_k, rpe_v = self._rpe_kv(rpe)  # [b, s, K, h, dh]
         else:
             rpe_k = rpe_v = None
         if rpe_k is not None:
-            q_rpe = jnp.einsum("bshd,bskhd->bskh", q, rpe_k) * scale
+            if fullwidth_rpe:
+                seg = (jnp.arange(self.d_model)[:, None] // d_head
+                       == jnp.arange(n_head)[None, :]).astype(q.dtype)
+                q_full = q.reshape(n_b, n_src, self.d_model)
+                q_rpe = jnp.einsum(
+                    "bskd,dh->bskh", q_full[:, :, None, :] * rpe_k, seg) * scale
+            else:
+                q_rpe = jnp.einsum("bshd,bskhd->bskh", q, rpe_k) * scale
             logits = logits + jnp.einsum("bskh,bskn->bshn", q_rpe, onehot)
 
         from trafficbotsv15_tpu.ops.attention import _masked_softmax
@@ -125,10 +141,21 @@ class AttentionRPE(nn.Module):
         out = jnp.einsum("bsht,bthd->bshd", attn, v)
         if rpe_v is not None:
             attn_knn = jnp.einsum("bshn,bskn->bskh", attn, onehot)
-            out = out + jnp.einsum("bskh,bskhd->bshd", attn_knn, rpe_v)
+            if fullwidth_rpe:
+                attn_full = jnp.einsum("bskh,hd->bskd", attn_knn.astype(q.dtype), seg.T)
+                out = out + jnp.sum(attn_full * rpe_v, axis=2).reshape(
+                    n_b, n_src, n_head, d_head)
+            else:
+                out = out + jnp.einsum("bskh,bskhd->bshd", attn_knn, rpe_v)
         if no_valid is not None:
             out = jnp.where(no_valid[..., 0][..., None, None], 0.0, out)
         return out.reshape(n_b, n_src, n_head * d_head)
+
+    def _rpe_kv_fullwidth(self, rpe):
+        """rpe -> (rpe_k, rpe_v) kept full-width [..., d_model] (no head split)."""
+        w_rpe, b_rpe = self._rpe_wb()
+        rpe_proj = rpe.astype(self.dtype) @ w_rpe.astype(self.dtype) + b_rpe.astype(self.dtype)
+        return jnp.split(rpe_proj, 2, axis=-1)
 
     def _kv_wb(self):
         w = self.param("kv_w", _xavier, (self.d_model, 2 * self.d_model), jnp.float32)
@@ -212,8 +239,11 @@ class AttentionRPE(nn.Module):
             # scenario-static K/V hoist: project the (static) targets and rpe once
             # outside the rollout scan; per-step attention then reuses them.
             if tgt is None:
-                # rpe-only precompute (dynamic K/V, static rpe)
+                # rpe-only precompute (dynamic K/V, static rpe); fullwidth when
+                # the consumer uses the head-segment matmul formulation
                 assert rpe is not None and self.d_rpe > 0 and not self.apply_q_rpe
+                if _seg_attn():
+                    return tuple(self._rpe_kv_fullwidth(rpe))
                 return self._rpe_kv(rpe)
             assert tgt.ndim == 4
             split = not _seg_attn()  # fullwidth storage when the consumer is
