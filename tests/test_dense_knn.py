@@ -58,3 +58,32 @@ def test_dense_knn_block_grads_match(monkeypatch):
 
     np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=3e-5)
+
+
+def test_gather_path_with_fullwidth_static_rpe(monkeypatch):
+    """TB_DENSE_KNN_MAX=0 forces the project-then-gather self-attn path; the
+    fullwidth static rpe cache must be head-split there (latent-crash guard)."""
+    monkeypatch.setenv("TB_DENSE_KNN_MAX", "0")
+    import jax
+
+    from trafficbotsv15_tpu.config import tiny_config
+    from trafficbotsv15_tpu.data.preprocessing import pre_processing
+    from trafficbotsv15_tpu.data.synthetic import make_batch
+    from trafficbotsv15_tpu.train.pipeline import build_model, init_params
+
+    cfg = tiny_config()
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=1, seed=3).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
+    pp = pre_processing(batch, tl_mode=cfg.model.tl_mode, navi_mode=cfg.model.navi_mode,
+                        n_step_hist=cfg.n_step_hist, training=True)
+    mp = model.apply({"params": params}, pp.mp_valid, pp.mp_attr, pp.mp_pose, pp.mp_type,
+                     method="encode_map")
+    tl = model.apply({"params": params}, pp.tl_valid, pp.tl_attr, pp.tl_pose, mp,
+                     method="precompute_tl")
+    # TL per-step forward consumes the static caches through the gather path
+    feat = model.apply(
+        {"params": params}, pp.tl_state[:, :, -3:].astype(jnp.float32), tl,
+        method=lambda m, s, t: m.tl_encoder(s, t),
+    )
+    assert np.isfinite(np.asarray(feat)).all()

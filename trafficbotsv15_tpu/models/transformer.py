@@ -418,6 +418,9 @@ class AttentionRPE(nn.Module):
                 rpe_q = rpe_k = rpe_v = None
                 if rpe_kv_static is not None:
                     rpe_k, rpe_v = rpe_kv_static
+                    if rpe_k.ndim == 4:  # fullwidth static cache: head-split here
+                        shp = rpe_k.shape[:-1] + (self.n_head, d_head)
+                        rpe_k, rpe_v = rpe_k.reshape(shp), rpe_v.reshape(shp)
                 elif rpe is not None:
                     assert self.d_rpe > 0
                     if self.apply_q_rpe:
