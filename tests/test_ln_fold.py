@@ -116,3 +116,23 @@ def test_attn_dropout_weights_mode():
     lw, _ = training_forward(cfg_w, model_w, params, batch, jax.random.PRNGKey(3))
     assert np.isfinite(float(l0)) and np.isfinite(float(lw))
     assert float(l0) != float(lw)
+
+
+def test_two_stage_knn_select_bit_exact(monkeypatch):
+    """The two-stage exact top-k equals single top_k bit-for-bit, including
+    tie order (stable, lowest index first) and all-invalid (inf) rows."""
+    import os
+
+    from trafficbotsv15_tpu.ops.rpe import _knn_select
+
+    rng = np.random.default_rng(1)
+    d = rng.integers(0, 40, size=(2, 5, 1024)).astype(np.float32)  # heavy ties
+    d[0, 0, :] = np.inf
+    d[1, 1, 600:] = np.inf
+    dj = jnp.asarray(d)
+    monkeypatch.setenv("TB_TWO_STAGE_KNN", "1")
+    got_d, got_i = _knn_select(dj, 64)
+    monkeypatch.setenv("TB_TWO_STAGE_KNN", "0")
+    ref_d, ref_i = _knn_select(dj, 64)
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(ref_d))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))

@@ -33,6 +33,24 @@ def _knn_select(rel_dist: jnp.ndarray, k: int):
 
     if os.environ.get("TB_APPROX_KNN", "0") == "1":
         return jax.lax.approx_min_k(rel_dist, k, recall_target=0.99, aggregate_to_topk=True)
+    n = rel_dist.shape[-1]
+    chunk = 128
+    if (os.environ.get("TB_TWO_STAGE_KNN", "0") == "1"
+            and n > 2 * chunk and n % chunk == 0 and k <= chunk):
+        # EXACT two-stage top-k: per-128-chunk top-k, then top-k of the
+        # g*k candidates (bit-exact incl. tie order, tested). Kept for the
+        # record: measured a large REGRESSION on v5e (143.6k vs 273.3k at
+        # batch 4) — the chunked [.., g, 128] view forces layout copies of
+        # the distance tensor that dwarf the shorter sorts. Default OFF.
+        g = n // chunk
+        d = rel_dist.reshape(rel_dist.shape[:-1] + (g, chunk))
+        neg_dk, ik = jax.lax.top_k(-d, k)  # [..., g, k]
+        ik = ik + (jnp.arange(g, dtype=ik.dtype) * chunk)[:, None]
+        cand_d = neg_dk.reshape(rel_dist.shape[:-1] + (g * k,))
+        cand_i = ik.reshape(rel_dist.shape[:-1] + (g * k,))
+        neg_dist, sel = jax.lax.top_k(cand_d, k)
+        idx = jnp.take_along_axis(cand_i, sel, axis=-1)
+        return -neg_dist, idx
     neg_dist, idx = jax.lax.top_k(-rel_dist, k)
     return -neg_dist, idx
 
