@@ -238,3 +238,26 @@ def test_submission_pipeline_end_to_end(tmp_path, monkeypatch):
     # trajectories cover exactly the future horizon
     t = r.joint_scenes[0].simulated_trajectories[0]
     assert len(t.center_x) == cfg.time_step_gt - cfg.time_step_current
+
+
+def test_wosac_metrics_pool_end_to_end():
+    """The official-metrics pool machinery (forkserver pool -> per-scenario
+    metric protos -> running sums -> bucket aggregation) runs end-to-end
+    against the stub metrics module (reference wosac.py:17-97)."""
+    from trafficbotsv15_tpu.eval.wosac_metrics import WOSACMetrics
+
+    rng = np.random.default_rng(7)
+    data = _wosac_data(rng)
+    rollouts = get_scenario_rollouts(WOSACPostCfg(), data, STEP_CURRENT, STEP_GT, ["a", "b"])
+    scenario_bytes = [b"\x01\x02".hex(), b"\x03\x04".hex()]
+
+    m = WOSACMetrics("val")
+    m.update(rollouts, scenario_bytes)
+    assert m.counter == 2
+    out = m.compute()
+    # stub metametric: 0.1 + 0.001*n_scenes + 0.0001*n_trajs
+    expect = 0.1 + 0.001 * N_FUT + 0.0001 * (N_AG + N_NS)
+    assert out["val/wosac/realism_meta_metric"] == pytest.approx(expect, rel=1e-5)
+    assert out["val/wosac_likelihood/metametric"] == pytest.approx(expect, rel=1e-5)
+    for key in ("kinematic_metrics", "interactive_metrics", "map_based_metrics", "min_ade"):
+        assert np.isfinite(out[f"val/wosac/{key}"])
