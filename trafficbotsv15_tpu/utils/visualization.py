@@ -385,7 +385,13 @@ def save_prediction_videos(
                 lines = [f"valid:{int(episode['agent/valid'][a, t])}"]
             else:
                 pv = np.asarray(prediction["agent/valid"][a], bool)
-                t_v = t_pred if pv[t_pred] else int(np.where(pv)[0][np.abs(np.where(pv)[0] - t_pred).argmin()]) if pv.any() else 0
+                if pv[t_pred]:
+                    t_v = t_pred
+                elif pv.any():  # closest valid step (vis_waymo.py:381-385)
+                    valid_steps = np.where(pv)[0]
+                    t_v = int(valid_steps[np.abs(valid_steps - t_pred).argmin()])
+                else:
+                    t_v = 0
                 loc = prediction["agent/pos"][a, t_v, :2]
                 yaw = float(prediction["agent/yaw_bbox"][a, t_v, 0])
                 view = frame_mix.copy()
