@@ -109,3 +109,46 @@ def test_cross_backward_matches_reference():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(q, tgt, rpe, w_kv, w_rpe, b)
     for a, e, name in zip(gp, gr, ("dq", "dtgt", "drpe", "dw_kv", "dw_rpe", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("n_s,s_tile", [(10, 4), (9, 8)])
+def test_backward_non_divisible_tiles(n_s, s_tile):
+    """Backward with n_s % s_tile != 0: padding rows of the last grid tile are
+    masked before the grid-accumulated dw/db (on TPU the padded block contents
+    are unspecified)."""
+    n_b, n_knn, n_head, d_head, r = 1, 4, 2, 8, 16
+    q, k, v, rpe, invalid, w, b = _make_inputs(n_b, n_s, n_knn, n_head, d_head, r)
+    g = jnp.asarray(RNG.normal(size=(n_b, n_s, n_head * d_head)).astype(np.float32))
+
+    def loss_pallas(q, k, v, rpe, w, b):
+        out = knarpe_attention(q, k, v, rpe, invalid, w, b, n_head, s_tile, True)
+        return jnp.sum(out * g)
+
+    def loss_ref(q, k, v, rpe, w, b):
+        out = knarpe_attention_reference(q, k, v, rpe, invalid, w, b, n_head)
+        return jnp.sum(out * g)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, rpe, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, rpe, w, b)
+    for a, e, name in zip(gp, gr, ("dq", "dk", "dv", "drpe", "dw", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("n_s,s_tile", [(10, 4)])
+def test_cross_backward_non_divisible_tiles(n_s, s_tile):
+    n_b, n_knn, n_head, d_head, r = 1, 5, 2, 8, 16
+    q, tgt, rpe, invalid, w_kv, w_rpe, b = _make_x_inputs(n_b, n_s, n_knn, n_head, d_head, r)
+    g = jnp.asarray(RNG.normal(size=(n_b, n_s, n_head * d_head)).astype(np.float32))
+
+    def loss_pallas(q, tgt, rpe, w_kv, w_rpe, b):
+        out = knarpe_cross_attention(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head, s_tile, True)
+        return jnp.sum(out * g)
+
+    def loss_ref(q, tgt, rpe, w_kv, w_rpe, b):
+        out = knarpe_cross_attention_reference(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head)
+        return jnp.sum(out * g)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4, 5))(q, tgt, rpe, w_kv, w_rpe, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(q, tgt, rpe, w_kv, w_rpe, b)
+    for a, e, name in zip(gp, gr, ("dq", "dtgt", "drpe", "dw_kv", "dw_rpe", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4, err_msg=name)

@@ -32,6 +32,12 @@ class TransformerCfg:
     # equivalent regularization, cheaper on TPU (no [.., K]-shaped masks in
     # the scan). Flip for exact-recipe parity runs.
     attn_dropout_weights: bool = False
+    # head-segment matmul attention for KNN paths (exact; +22% rollout on
+    # v5e). Env TB_SEG_ATTN overrides for A/B runs.
+    seg_attn: bool = True
+    # KNN self-attention over token sets up to this size runs as dense masked
+    # attention (zero gathers). Env TB_DENSE_KNN_MAX overrides.
+    dense_knn_max: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

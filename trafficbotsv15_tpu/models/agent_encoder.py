@@ -80,6 +80,8 @@ class AgentEncoder(nn.Module):
             apply_q_rpe=self.tf_cfg.apply_q_rpe,
             use_pallas=self.tf_cfg.use_pallas,
             attn_dropout_weights=self.tf_cfg.attn_dropout_weights,
+            seg_attn=self.tf_cfg.seg_attn,
+            dense_knn_max=self.tf_cfg.dense_knn_max,
             n_layer=self.cfg.n_layer_tf,
             d_rpe=d_rpe,
             dtype=self.dtype,

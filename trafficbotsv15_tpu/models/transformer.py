@@ -40,22 +40,25 @@ def standardize(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     return (x32 - mu) * jax.lax.rsqrt(var + eps)
 
 
-def _seg_attn() -> bool:
-    """A/B switch: head-segment matmul attention for the fused KNN cross-attn
-    (knn_attention_fullwidth) instead of the head-split einsum path."""
+def _seg_attn(cfg_default: bool = True) -> bool:
+    """Head-segment matmul attention for the KNN paths (TransformerCfg.seg_attn;
+    env TB_SEG_ATTN overrides for trace-time A/B runs)."""
     import os
 
-    return os.environ.get("TB_SEG_ATTN", "1") == "1"
+    env = os.environ.get("TB_SEG_ATTN")
+    return cfg_default if env is None else env == "1"
 
 
-def _dense_knn_max() -> int:
+def _dense_knn_max(cfg_default: int = 128) -> int:
     """KNN self-attention over token sets up to this size runs as dense masked
     attention (zero gathers; the KNN restriction becomes a mask built from the
     indices on the VPU). Above it, project-then-gather is used. The per-layer
-    KV gathers this removes cost ~12 ms/step at flagship rollout shapes."""
+    KV gathers this removes cost ~12 ms/step at flagship rollout shapes.
+    TransformerCfg.dense_knn_max; env TB_DENSE_KNN_MAX overrides."""
     import os
 
-    return int(os.environ.get("TB_DENSE_KNN_MAX", "128"))
+    env = os.environ.get("TB_DENSE_KNN_MAX")
+    return cfg_default if env is None else int(env)
 
 
 class AttentionRPE(nn.Module):
@@ -73,6 +76,8 @@ class AttentionRPE(nn.Module):
     apply_q_rpe: bool = False
     use_pallas: bool = False
     attn_dropout_weights: bool = False  # drop attention weights (reference) vs output input
+    seg_attn: bool = True
+    dense_knn_max: int = 128
     dtype: jnp.dtype = jnp.float32
 
     def _dense_knn_attention(self, q, kv, tgt_idx, tgt_padding_mask, rpe, rpe_kv_static,
@@ -111,7 +116,7 @@ class AttentionRPE(nn.Module):
             rpe_k, rpe_v = rpe_kv_static  # head-split [b,s,K,h,dh] or fullwidth [b,s,K,D]
         elif rpe is not None:
             assert self.d_rpe > 0
-            if _seg_attn():
+            if _seg_attn(self.seg_attn):
                 # fullwidth rpe projection: the per-head q·rpe_k reduction runs
                 # as a head-segment matmul (MXU) instead of a transposed VPU
                 # multiply-reduce — same cure as knn_attention_fullwidth
@@ -124,8 +129,9 @@ class AttentionRPE(nn.Module):
             rpe_k = rpe_v = None
         if rpe_k is not None:
             if fullwidth_rpe:
-                seg = (jnp.arange(self.d_model)[:, None] // d_head
-                       == jnp.arange(n_head)[None, :]).astype(q.dtype)
+                from trafficbotsv15_tpu.ops.attention import head_segments
+
+                seg = head_segments(self.d_model, n_head, q.dtype)
                 q_full = q.reshape(n_b, n_src, self.d_model)
                 q_rpe = jnp.einsum(
                     "bskd,dh->bskh", q_full[:, :, None, :] * rpe_k, seg) * scale
@@ -242,11 +248,11 @@ class AttentionRPE(nn.Module):
                 # rpe-only precompute (dynamic K/V, static rpe); fullwidth when
                 # the consumer uses the head-segment matmul formulation
                 assert rpe is not None and self.d_rpe > 0 and not self.apply_q_rpe
-                if _seg_attn():
+                if _seg_attn(self.seg_attn):
                     return tuple(self._rpe_kv_fullwidth(rpe))
                 return self._rpe_kv(rpe)
             assert tgt.ndim == 4
-            split = not _seg_attn()  # fullwidth storage when the consumer is
+            split = not _seg_attn(self.seg_attn)  # fullwidth storage when the consumer is
             # knn_attention_fullwidth (head-segment matmul path)
             if rpe is not None:
                 assert self.d_rpe > 0 and not self.apply_q_rpe
@@ -288,7 +294,7 @@ class AttentionRPE(nn.Module):
                 out = jnp.where(no_valid[..., None], 0.0, out)
             return out
 
-        dense_knn = tgt_idx is not None and not self.apply_q_rpe and n_src <= _dense_knn_max()
+        dense_knn = tgt_idx is not None and not self.apply_q_rpe and n_src <= _dense_knn_max(self.dense_knn_max)
         fused_kv_rpe = (  # cross-attn over per-source RAW KNN targets with rpe:
             # fold the rpe projection into the kv matmul (one concat matmul on
             # XLA; the fully-fused v2 Pallas kernel when use_pallas)
@@ -389,7 +395,7 @@ class AttentionRPE(nn.Module):
                         tpu=lambda *a: knarpe_cross_attention(*a, self.n_head),
                         default=lambda *a: knarpe_cross_attention_reference(*a, self.n_head),
                     )
-                elif _seg_attn():
+                elif _seg_attn(self.seg_attn):
                     # head-segment matmul attention on the full-width halves:
                     # no head split, no layout copies, q.k rides the MXU
                     from trafficbotsv15_tpu.ops.attention import knn_attention_fullwidth
@@ -403,7 +409,7 @@ class AttentionRPE(nn.Module):
                     # one concat matmul produces k+rpe_k / v+rpe_v directly
                     k, v = self._project_kv_plus_rpe(tgt, rpe, ln=tgt_ln)
                     out, _ = knn_attention(q, k, v, tgt_padding_mask, attn_drop_fn=wdrop)
-            elif rpe is None and rpe_kv_static is None and _seg_attn():
+            elif rpe is None and rpe_kv_static is None and _seg_attn(self.seg_attn):
                 # no-rpe KNN cross attention (scene-centric mode): same
                 # head-segment matmul formulation, no head split
                 from trafficbotsv15_tpu.ops.attention import knn_attention_fullwidth
@@ -466,6 +472,8 @@ class TransformerLayer(nn.Module):
     apply_q_rpe: bool = False
     use_pallas: bool = False
     attn_dropout_weights: bool = False
+    seg_attn: bool = True
+    dense_knn_max: int = 128
     dtype: jnp.dtype = jnp.float32
 
     def _norm_tgt_params(self):
@@ -504,6 +512,8 @@ class TransformerLayer(nn.Module):
             apply_q_rpe=self.apply_q_rpe,
             use_pallas=self.use_pallas,
             attn_dropout_weights=self.attn_dropout_weights,
+            seg_attn=self.seg_attn,
+            dense_knn_max=self.dense_knn_max,
             dtype=self.dtype,
         )
         drop = lambda name: nn.Dropout(self.dropout_p, deterministic=deterministic, name=name)
@@ -598,6 +608,8 @@ class TransformerBlock(nn.Module):
     apply_q_rpe: bool = False
     use_pallas: bool = False
     attn_dropout_weights: bool = False
+    seg_attn: bool = True
+    dense_knn_max: int = 128
     n_layer: int = 1
     mode: str = "enc_self_attn"
     d_rpe: int = -1
@@ -631,6 +643,7 @@ class TransformerBlock(nn.Module):
                     mode=self.mode, d_rpe=self.d_rpe, apply_q_rpe=self.apply_q_rpe,
                     use_pallas=self.use_pallas, dtype=self.dtype, name=f"layer{i}",
                     attn_dropout_weights=self.attn_dropout_weights,
+                    seg_attn=self.seg_attn, dense_knn_max=self.dense_knn_max,
                 )(None, tgt=tgt, rpe=rpe, decoder_rpe=decoder_rpe, compute_static_kv=True))
             return caches
         if tgt is not None and tgt.ndim == 4 and self.mode != "enc_self_attn":
@@ -656,6 +669,8 @@ class TransformerBlock(nn.Module):
                 apply_q_rpe=self.apply_q_rpe,
                 use_pallas=self.use_pallas,
                 attn_dropout_weights=self.attn_dropout_weights,
+                seg_attn=self.seg_attn,
+                dense_knn_max=self.dense_knn_max,
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(

@@ -24,6 +24,17 @@ import jax.numpy as jnp
 _MASK_VALUE = -1e9
 
 
+def head_segments(d_model: int, n_head: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Block-diagonal head indicator seg[d, h] = 1 iff lane d belongs to head h.
+
+    Per-head reductions become [.., d_model] @ [d_model, n_head] matmuls
+    (MXU) so the lane dim never needs a head split/reshape. Single source of
+    truth for the head layout — used by the fullwidth attention paths and the
+    Pallas kernels."""
+    d_head = d_model // n_head
+    return (jnp.arange(d_model)[:, None] // d_head == jnp.arange(n_head)[None, :]).astype(dtype)
+
+
 def _masked_softmax(logits: jnp.ndarray, invalid: Optional[jnp.ndarray]) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Softmax over the last axis with bool invalid mask broadcast over heads.
 
@@ -82,7 +93,7 @@ def knn_attention_fullwidth(
     d_model]."""
     n_b, n_src, n_knn, d_model = kf.shape
     d_head = d_model // n_head
-    seg = (jnp.arange(d_model)[:, None] // d_head == jnp.arange(n_head)[None, :]).astype(q.dtype)
+    seg = head_segments(d_model, n_head, q.dtype)
     scale = 1.0 / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
 
     prod = q[:, :, None, :] * kf  # [b, s, K, D], minor dim untouched

@@ -60,12 +60,11 @@ def pallas_available() -> bool:
 
 
 def _head_segments(d_model: int, n_head: int):
-    """seg [D, H] with seg[d, h] = 1 iff lane d belongs to head h; and its
-    transpose. Per-head reductions become matmuls so the lane dim never has
-    to be reshaped inside the kernel."""
-    d_head = d_model // n_head
-    heads = jnp.arange(d_model) // d_head  # [D]
-    seg = (heads[:, None] == jnp.arange(n_head)[None, :]).astype(jnp.float32)
+    """(seg [D, H], seg.T) — see ops.attention.head_segments (single source
+    of truth for the head layout)."""
+    from trafficbotsv15_tpu.ops.attention import head_segments
+
+    seg = head_segments(d_model, n_head, jnp.float32)
     return seg, seg.T
 
 
@@ -126,24 +125,36 @@ def _fwd_kernel(q_ref, k_ref, v_ref, rpe_ref, inv_ref, w_ref, b_ref, seg_ref, se
     out_ref[...] = out.reshape(1, s_tile, d_model).astype(out_ref.dtype)
 
 
+def _row_mask(s_tile: int, n_s: int):
+    """[s_tile, 1] bool: True for rows inside the real source range. Padding
+    rows of the last grid tile contain UNSPECIFIED data on TPU — every
+    backward kernel must zero them before accumulating weight gradients."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (s_tile, 1), 0)
+    return (pl.program_id(1) * s_tile + row) < n_s
+
+
 def _bwd_kernel(q_ref, k_ref, v_ref, rpe_ref, inv_ref, w_ref, wT_ref, b_ref,
                 seg_ref, segT_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, drpe_ref, dw_ref, db_ref, *, n_head: int):
+                dq_ref, dk_ref, dv_ref, drpe_ref, dw_ref, db_ref, *, n_head: int,
+                n_s: int):
     """Recompute-forward backward tile. dw/db accumulate across the sequential
     TPU grid (same VMEM block revisited every step)."""
     _, s_tile, n_knn, d_model = k_ref.shape
     r = rpe_ref.shape[-1]
     scale = 1.0 / (d_model // n_head) ** 0.5
 
-    q = q_ref[...].reshape(s_tile, d_model).astype(jnp.float32)
-    k = k_ref[...].reshape(s_tile * n_knn, d_model).astype(jnp.float32)
-    v = v_ref[...].reshape(s_tile * n_knn, d_model).astype(jnp.float32)
-    rpe = rpe_ref[...].reshape(s_tile * n_knn, r).astype(jnp.float32)
-    inv = inv_ref[...].reshape(s_tile, n_knn).astype(jnp.float32)[:, :, None] > 0.0
+    valid_row = _row_mask(s_tile, n_s)  # [s, 1]
+    vrow_kd = jnp.broadcast_to(valid_row[:, None, :], (s_tile, n_knn, 1)).reshape(
+        s_tile * n_knn, 1)
+    q = jnp.where(valid_row, q_ref[...].reshape(s_tile, d_model).astype(jnp.float32), 0.0)
+    k = jnp.where(vrow_kd, k_ref[...].reshape(s_tile * n_knn, d_model).astype(jnp.float32), 0.0)
+    v = jnp.where(vrow_kd, v_ref[...].reshape(s_tile * n_knn, d_model).astype(jnp.float32), 0.0)
+    rpe = jnp.where(vrow_kd, rpe_ref[...].reshape(s_tile * n_knn, r).astype(jnp.float32), 0.0)
+    inv = (inv_ref[...].reshape(s_tile, n_knn).astype(jnp.float32)[:, :, None] > 0.0) | ~valid_row[:, :, None]
     w = w_ref[...].astype(jnp.float32)
     b = b_ref[...].astype(jnp.float32)
     seg, segT = seg_ref[...], segT_ref[...]
-    g = g_ref[...].reshape(s_tile, d_model).astype(jnp.float32)
+    g = jnp.where(valid_row, g_ref[...].reshape(s_tile, d_model).astype(jnp.float32), 0.0)
 
     attn, kk3, vv3, _ = _fwd_core(q, k, v, rpe, inv, w, b, seg, segT,
                                   n_head=n_head, scale=scale)
@@ -271,7 +282,7 @@ def _knarpe_bwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, g, n_head: int, s_ti
         jax.ShapeDtypeStruct((1, 2 * d_model), jnp.float32),   # db
     )
     dq, dk, dv, drpe, dw, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_head=n_head),
+        functools.partial(_bwd_kernel, n_head=n_head, n_s=n_s),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[
@@ -442,19 +453,24 @@ def _knarpe_x_fwd_pallas(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head: int,
 
 def _x_bwd_kernel(q_ref, tgt_ref, rpe_ref, inv_ref, wk_ref, wkT_ref, wr_ref, wrT_ref,
                   b_ref, seg_ref, segT_ref, g_ref,
-                  dq_ref, dtgt_ref, drpe_ref, dwk_ref, dwr_ref, db_ref, *, n_head: int):
+                  dq_ref, dtgt_ref, drpe_ref, dwk_ref, dwr_ref, db_ref, *, n_head: int,
+                  n_s: int):
     """Recompute-forward backward; dwk/dwr/db accumulate over the sequential
     grid. dtgt/drpe come from the kv projections' transposes."""
     _, s_tile, n_knn, d_model = tgt_ref.shape
     r = rpe_ref.shape[-1]
     scale = 1.0 / (d_model // n_head) ** 0.5
 
-    q = q_ref[...].reshape(s_tile, d_model).astype(jnp.float32)
-    tgt = tgt_ref[...].reshape(s_tile * n_knn, d_model)
-    rpe = rpe_ref[...].reshape(s_tile * n_knn, r)
-    inv = inv_ref[...].reshape(s_tile, n_knn).astype(jnp.float32)[:, :, None] > 0.0
+    valid_row = _row_mask(s_tile, n_s)  # [s, 1] — zero padding rows so the
+    # grid-accumulated dwk/dwr/db never see unspecified block-padding data
+    vrow_kd = jnp.broadcast_to(valid_row[:, None, :], (s_tile, n_knn, 1)).reshape(
+        s_tile * n_knn, 1)
+    q = jnp.where(valid_row, q_ref[...].reshape(s_tile, d_model).astype(jnp.float32), 0.0)
+    tgt = jnp.where(vrow_kd, tgt_ref[...].reshape(s_tile * n_knn, d_model), 0)
+    rpe = jnp.where(vrow_kd, rpe_ref[...].reshape(s_tile * n_knn, r), 0)
+    inv = (inv_ref[...].reshape(s_tile, n_knn).astype(jnp.float32)[:, :, None] > 0.0) | ~valid_row[:, :, None]
     seg, segT = seg_ref[...], segT_ref[...]
-    g = g_ref[...].reshape(s_tile, d_model).astype(jnp.float32)
+    g = jnp.where(valid_row, g_ref[...].reshape(s_tile, d_model).astype(jnp.float32), 0.0)
 
     kv = (
         jnp.dot(tgt, wk_ref[...], preferred_element_type=jnp.float32)
@@ -552,7 +568,7 @@ def _knarpe_x_bwd_pallas(q, tgt, rpe, invalid, w_kv, w_rpe, b, g, n_head: int,
         jax.ShapeDtypeStruct((1, 2 * d_model), jnp.float32),
     )
     dq, dtgt, drpe, dwk, dwr, db = pl.pallas_call(
-        functools.partial(_x_bwd_kernel, n_head=n_head),
+        functools.partial(_x_bwd_kernel, n_head=n_head, n_s=n_s),
         out_shape=out_shapes,
         grid=grid,
         in_specs=[

@@ -113,8 +113,14 @@ def get_tgt_knn(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Select the K nearest valid targets per source.
 
+    CONTRACT: rel_dist MUST carry +inf for every invalid pair (get_rel_pose /
+    get_rel_dist guarantee this) — winner validity is derived from the top-k
+    VALUES alone; the tgt_invalid argument is kept for signature parity with
+    the reference (rpe.py:63-90) but is NOT consulted. A rel_dist produced
+    any other way must bake its own masking in.
+
     Args:
-        tgt_invalid: [n_sc, n_tgt] bool
+        tgt_invalid: [n_sc, n_tgt] bool (unused; see contract above)
         rel_pose: [n_sc, n_src, n_tgt, 3] or None
         rel_dist: [n_sc, n_src, n_tgt] (+inf marks invalid pairs)
         n_tgt_knn: static K, 0 < K < n_tgt

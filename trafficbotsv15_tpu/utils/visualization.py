@@ -324,6 +324,10 @@ def save_prediction_videos(
                                episode["agent/yaw_bbox"][:, t, :1]], -1)
 
     def tl_kwargs(t, t_pred):
+        # NOTE: for t beyond step_current the single shared base frame (gt, pd
+        # AND mix videos) shows the model's PREDICTED TL states — matching the
+        # reference exactly (vis_waymo.py:240-252 builds one step_image with
+        # prediction TLs and derives all per-video frames from it)
         kw = {}
         if "tl_lane/valid" in episode:
             if t_pred < 0:
