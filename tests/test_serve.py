@@ -40,3 +40,11 @@ def test_interactive_simulator():
 
     hist = sim.history()
     assert hist["pose"].shape[2] == 4
+
+    # async mode: observation stays on device (no host sync per step);
+    # history() materializes everything at the end
+    out3 = sim.step(fetch=False)
+    assert isinstance(out3["pose"], jnp.ndarray)
+    hist = sim.history()
+    assert hist["pose"].shape[2] == 5
+    assert np.isfinite(hist["pose"]).all()

@@ -5,7 +5,10 @@ The reference only runs offline rollouts inside Lightning steps (plus a dead
 module exposes the same policy as a stateful stepper: encode a scenario once,
 then advance the world one step at a time — optionally overriding any agent's
 action externally (e.g. an ego planner under test). All device state stays
-resident; each step is a single jitted call (~1 ms at flagship scale).
+resident; each step is ONE jitted call. Measured on the v5e (flagship 10M,
+1 scenario x 64 agents): fetch=False ~2 ms/step async; fetch=True adds the
+blocking host transfer, which dominates on this image's tunneled device
+(~126 ms/step — a remote-dispatch artifact, not model time).
 
 Example:
     sim = InteractiveSimulator(cfg, params)
@@ -128,15 +131,22 @@ class InteractiveSimulator:
         return dict(valid=np.asarray(self._state[0]), pose=np.asarray(self._state[1]),
                     motion=np.asarray(self._state[2]))
 
-    def step(self, actions: Optional[Dict[str, np.ndarray]] = None) -> Dict[str, np.ndarray]:
+    def step(self, actions: Optional[Dict[str, np.ndarray]] = None,
+             fetch: bool = True) -> Dict[str, np.ndarray]:
         """Advance one 0.1 s step. `actions` optionally scripts agents:
-        {"valid": [n_sc, n_ag] bool, "action": [n_sc, n_ag, 2] (acc, yaw_rate)}."""
+        {"valid": [n_sc, n_ag] bool, "action": [n_sc, n_ag, 2] (acc, yaw_rate)}.
+
+        fetch=False keeps the observation on-device (async dispatch, no host
+        sync): use it when the caller only needs the observation occasionally
+        — on tunneled/remote devices the per-step blocking transfer dominates
+        the latency; history() materializes everything at the end."""
         assert self._state is not None, "call reset() first"
         player = None
         if actions is not None:
             player = {"valid": jnp.asarray(actions["valid"]), "action": jnp.asarray(actions["action"])}
         self._state, out = self._jit_step(self.params, self._state, player)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        if fetch:
+            out = {k: np.asarray(v) for k, v in out.items()}
         self._trajs.append(out)
         return out
 
@@ -145,4 +155,4 @@ class InteractiveSimulator:
         if not self._trajs:
             return {}
         keys = self._trajs[0].keys()
-        return {k: np.stack([t[k] for t in self._trajs], axis=2) for k in keys}
+        return {k: np.stack([np.asarray(t[k]) for t in self._trajs], axis=2) for k in keys}
