@@ -54,8 +54,45 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.save_last({"params": params, "opt_state": {"mu": params}}, cfg, {"step": 8})
     state, _, meta = mgr.restore("last", {"params": params})
     assert set(state) == {"params"} and meta["step"] == 8
-    with pytest.raises(ValueError):
+    with pytest.raises((ValueError, KeyError)):
         mgr.restore("last", {"params": params, "not_in_ckpt": params})
+
+
+def _to_legacy_names(tree):
+    """Inverse of the round-2 param rename: explicit kv_w/kv_b ->
+    kv_proj/{kernel,bias}, norm_tgt_{scale,bias} -> norm_tgt/{scale,bias}."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if k in ("kv_w", "kv_b"):
+            out.setdefault("kv_proj", {})["kernel" if k == "kv_w" else "bias"] = v
+        elif k in ("norm_tgt_scale", "norm_tgt_bias"):
+            out.setdefault("norm_tgt", {})[k.split("_")[-1]] = v
+        else:
+            out[k] = _to_legacy_names(v)
+    return out
+
+
+def test_checkpoint_param_rename_migration(tmp_path):
+    """Pre-round-2 checkpoints (kv_proj Dense + norm_tgt LayerNorm submodules)
+    restore through the rename migration in CheckpointManager.restore."""
+    cfg = tiny_config()
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=2, seed=0).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
+    legacy = _to_legacy_names(params)
+    # the rename actually applies to this model
+    assert jax.tree_util.tree_structure(legacy) != jax.tree_util.tree_structure(params)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_last({"params": legacy}, cfg, {"step": 1})
+    state, _, _ = mgr.restore("last", {"params": params})
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(state["params"])
+    assert jax.tree_util.tree_structure(state["params"]) == jax.tree_util.tree_structure(params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 @pytest.mark.slow

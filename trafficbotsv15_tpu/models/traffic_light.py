@@ -84,9 +84,9 @@ class TrafficLightEncoder(nn.Module):
                 out_layernorm=self.tf_cfg.out_layernorm,
                 apply_q_rpe=self.tf_cfg.apply_q_rpe,
                 use_pallas=self.tf_cfg.use_pallas,
-            attn_dropout_weights=self.tf_cfg.attn_dropout_weights,
-            seg_attn=self.tf_cfg.seg_attn,
-            dense_knn_max=self.tf_cfg.dense_knn_max,
+                attn_dropout_weights=self.tf_cfg.attn_dropout_weights,
+                seg_attn=self.tf_cfg.seg_attn,
+                dense_knn_max=self.tf_cfg.dense_knn_max,
                 n_layer=self.cfg.n_layer_tf,
                 mode="dec_cross_attn",
                 d_rpe=pose_emb_out_dim(self.pose_rpe) if self.pairwise_relative else -1,

@@ -51,7 +51,7 @@ _MASK = -1e9
 
 
 def pallas_available() -> bool:
-    """Kill-switch for A/B runs (mirrors TB_TRAIN_ONEHOT_GATHER). Platform
+    """Kill-switch for A/B runs (mirrors TB_ONEHOT_GATHER). Platform
     selection itself is handled by lax.platform_dependent at the call site,
     so this only honours the env toggle."""
     import os

@@ -104,8 +104,16 @@ def tp_shard_params(params, mesh: Mesh):
     Used by scaled_config-and-beyond models whose hidden dims outgrow one
     chip; the flagship 10M model runs pure data-parallel."""
     n_model = mesh.shape[MODEL_AXIS]
-    # (name, axis-to-shard): column-parallel = output dim 1, row-parallel = input dim 0
-    col = ("q_proj", "kv_w", "rpe_proj_w", "ffn1")
+    # (name, axis-to-shard): column-parallel = output dim 1, row-parallel = input
+    # dim 0. Column-parallel biases shard with their kernels (kv_b/rpe_proj_b
+    # are separate explicit params, so they are listed by name; q_proj/ffn1 are
+    # Dense submodules whose bias shares the module path). Note the [D, 2D]
+    # fused kv_w shards its 2D output axis in contiguous column ranges, which
+    # splits the k-half/v-half (not head-major) across devices — GSPMD keeps it
+    # correct and at n_model=2 the split lands exactly on the k/v boundary; a
+    # head-major layout would need an un-fused [D, 2, n_head, d_head] param
+    # shape (a checkpoint-breaking change, not worth it at current scales).
+    col = ("q_proj", "kv_w", "kv_b", "rpe_proj_w", "rpe_proj_b", "ffn1")
     row = ("out_proj", "ffn2")
 
     def shard_one(path, p):

@@ -254,8 +254,12 @@ def rollout(
         # one-hot matmul gathers in the rollout scan for BOTH train and eval:
         # training avoids the backward scatter-add; in eval the native gather
         # runs ~30 GB/s inside the big scan body while the one-hot rides the
-        # MXU (A/B on v5e: 127.8k -> 141.0k agent-steps/s, docs/PERF.md)
-        _onehot = os.environ.get("TB_TRAIN_ONEHOT_GATHER", "1") == "1"
+        # MXU (A/B on v5e: 127.8k -> 141.0k agent-steps/s, docs/PERF.md).
+        # TB_ONEHOT_GATHER=0 disables it everywhere (the old name
+        # TB_TRAIN_ONEHOT_GATHER is honored for back-compat).
+        _onehot = os.environ.get(
+            "TB_ONEHOT_GATHER", os.environ.get("TB_TRAIN_ONEHOT_GATHER", "1")
+        ) == "1"
         rngs = {"dropout": k_drop} if train else None
         with onehot_gather_scope(_onehot):
             action_dist, tl_logits, rnn_hidden, tl_rnn_hidden = model.apply(

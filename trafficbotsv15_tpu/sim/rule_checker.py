@@ -96,6 +96,21 @@ def dest_statics_from_navi(ag_dest, mp_valid, mp_type, mp_pos, mp_dir):
     )
 
 
+def build_road_edges(mp_valid, mp_type, mp_pos, mp_dir, segment_budget: int = 6144):
+    """Road-edge segments [n_sc, n_seg, 2, 2] + validity from the packed map
+    (types 4/5/7 = road edge boundary/median, traffic_rule_checker.py:60-78).
+    Shared by init_rule_checker and the native WOSAC realism features."""
+    n_sc = mp_valid.shape[0]
+    mp_pos, mp_dir = mp_pos[..., :2], mp_dir[..., :2]
+    road_edge_valid = mp_valid & jnp.any(mp_type[:, :, jnp.array([4, 5, 7])], axis=-1, keepdims=True)
+    road_edge = jnp.stack([mp_pos, mp_pos + mp_dir], axis=-2)
+    n_seg = mp_valid.shape[1] * mp_valid.shape[2]
+    road_edge = road_edge.reshape(n_sc, n_seg, 2, 2)
+    road_edge_valid = road_edge_valid.reshape(n_sc, n_seg)
+    road_edge_valid, road_edge = _compact_segments(road_edge_valid, segment_budget, road_edge)
+    return road_edge, road_edge_valid
+
+
 def init_rule_checker(
     mp_boundary, mp_valid, mp_type, mp_pos, mp_dir, ag_type, ag_size,
     tl_valid, tl_pose, ag_goal=None, ag_dest=None, collision_size_scale: float = 1.1,

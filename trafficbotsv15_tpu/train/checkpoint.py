@@ -18,6 +18,45 @@ import orbax.checkpoint as ocp
 from trafficbotsv15_tpu.config import ExperimentCfg, config_from_dict, config_to_dict
 
 
+# Param renames across framework versions: round 2 replaced the kv Dense
+# submodule with explicit params (kv_proj/{kernel,bias} -> kv_w/kv_b) and the
+# per-layer target LayerNorm submodule with explicit scale/bias params
+# (norm_tgt/{scale,bias} -> norm_tgt_{scale,bias}) so LN folding and concat
+# matmuls work on raw weights. Checkpoints written before that rename are
+# migrated transparently at restore time.
+_PARAM_RENAMES = {
+    "kv_w": ("kv_proj", "kernel"),
+    "kv_b": ("kv_proj", "bias"),
+    "norm_tgt_scale": ("norm_tgt", "scale"),
+    "norm_tgt_bias": ("norm_tgt", "bias"),
+}
+
+
+def migrate_param_tree(full: Any, example: Any) -> Any:
+    """Project a raw restored tree onto the example tree's structure, applying
+    known historical param renames (see _PARAM_RENAMES) and dropping entries
+    the example does not request (e.g. opt_state when eval only wants params).
+    Raises KeyError naming the first leaf that cannot be resolved."""
+    if not isinstance(example, dict):
+        return full
+    if not isinstance(full, dict):
+        raise KeyError(f"checkpoint holds a leaf where a subtree was expected: {example.keys()}")
+    out = {}
+    for k, ex_v in example.items():
+        if k in full:
+            out[k] = migrate_param_tree(full[k], ex_v)
+        elif k in _PARAM_RENAMES:
+            old_mod, old_leaf = _PARAM_RENAMES[k]
+            sub = full.get(old_mod)
+            if isinstance(sub, dict) and old_leaf in sub:
+                out[k] = sub[old_leaf]
+            else:
+                raise KeyError(f"checkpoint missing param {k!r} (also tried {old_mod}/{old_leaf})")
+        else:
+            raise KeyError(f"checkpoint missing entry {k!r}")
+    return out
+
+
 class CheckpointManager:
     def __init__(self, ckpt_dir: str, keep_best: bool = True):
         self.dir = Path(ckpt_dir).absolute()
@@ -68,15 +107,13 @@ class CheckpointManager:
         if example_state is not None:
             try:
                 state = self._ckptr.restore(path, example_state)
-            except ValueError:
-                # partial restore: the checkpoint holds more top-level entries
-                # than requested (fit saves params+opt_state(+ema/swa); eval
-                # only wants params) — restore raw and subset
+            except (ValueError, KeyError):
+                # partial restore (the checkpoint holds more entries than
+                # requested — fit saves params+opt_state(+ema/swa); eval only
+                # wants params) and/or a pre-rename param tree: restore raw,
+                # then project onto the example tree with rename migration
                 full = self._ckptr.restore(path)
-                missing = set(example_state) - set(full)
-                if missing:
-                    raise
-                state = {k: full[k] for k in example_state}
+                state = migrate_param_tree(full, example_state)
         else:
             state = self._ckptr.restore(path)
         return state, cfg, info["meta"]
