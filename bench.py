@@ -41,6 +41,114 @@ BASELINE_AGENT_STEPS_PER_SEC_PER_CHIP = 8.4e3
 # training baseline: 1.2 effective WOMD epochs (~584k samples) in ~5 days on
 # 4 GPUs (README.md:45,55) => ~1.35 samples/s over 4 chips = 0.34 samples/s/chip
 BASELINE_TRAIN_SAMPLES_PER_SEC_PER_CHIP = 0.34
+# validation baseline: 44,097 scenarios in ~2.5 days on 4 GPUs (README.md:45)
+# = 0.051 scenarios/s/GPU — this one INCLUDES metric computation, which the
+# validate mode here also performs (both rollouts + native realism + WOMD)
+BASELINE_VALIDATE_SCENARIOS_PER_SEC_PER_CHIP = 0.051
+
+# published peak bf16 matmul throughput per chip, for MFU reporting
+_PEAK_BF16_FLOPS = {
+    "v6e": 918e12, "v6": 918e12, "v5p": 459e12, "v5e": 197e12,
+    "v5litepod": 197e12, "v5": 459e12, "v4": 275e12, "v3": 123e12,
+}
+
+
+def _peak_flops() -> float:
+    kind = "".join(jax.devices()[0].device_kind.lower().split())
+    for name, peak in _PEAK_BF16_FLOPS.items():
+        if name in kind:
+            return peak
+    return 0.0
+
+
+def _lowered_flops(fn, *args) -> float:
+    """HLO flop count of fn at abstract args (no execution, no backend
+    compile). XLA's cost analysis does NOT scale lax.scan bodies by trip
+    count, so callers decompose scans by hand (see _rollout_flops). Lowered
+    on the CPU client — flops are backend-independent and the TPU plugin's
+    cost_analysis returns None."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            ca = jax.jit(fn).lower(*args).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _abstract(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x, tree
+    )
+
+
+def _expand_batch(batch, k: int):
+    return {
+        n: jax.ShapeDtypeStruct((v.shape[0] * k,) + v.shape[1:], v.dtype)
+        for n, v in batch.items()
+    }
+
+
+def _rollout_flops(cfg, model, params, batch, n_future: int, n_steps: int) -> float:
+    """Analytic FLOPs of one closed-loop rollout call: one-time scene encoders
+    at the scenario batch + n_steps x the per-step policy at the K-expanded
+    batch. Counts the encoder/policy matmul path (latent/navi/dynamics/rule
+    checks are excluded — a few % — so MFU reported from this is a floor)."""
+    from trafficbotsv15_tpu.data.preprocessing import pre_processing
+
+    W = cfg.model.temp_window_size
+    L = cfg.model.latent_encoder.latent_dim
+
+    def _pp(b):
+        return pre_processing(b, tl_mode=cfg.model.tl_mode, navi_mode=cfg.model.navi_mode,
+                              n_step_hist=cfg.n_step_hist, training=True)
+
+    def enc(params, b):
+        pp = _pp(b)
+        mp = model.apply({"params": params}, pp.mp_valid, pp.mp_attr, pp.mp_pose, pp.mp_type,
+                         method="encode_map")
+        tl = model.apply({"params": params}, pp.tl_valid, pp.tl_attr, pp.tl_pose, mp,
+                         method="precompute_tl")
+        return mp, tl
+
+    def full(params, b):
+        pp = _pp(b)
+        mp, tl = enc(params, b)
+        n_sc, n_ag = pp.ag_valid.shape[:2]
+        return model.apply(
+            {"params": params},
+            ag_valid=pp.ag_valid[:, :, -1],
+            hist_ag_valid=pp.ag_valid[:, :, -W:],
+            hist_ag_pose=pp.ag_pose[:, :, -W:],
+            hist_ag_motion=pp.ag_motion[:, :, -W:],
+            hist_tl_state=pp.tl_state[:, :, -W:].astype(jnp.float32),
+            hist_step_invalid=jnp.zeros(W, bool),
+            ag_attr=pp.ag_attr, ag_type=pp.ag_type,
+            ag_latent=jnp.zeros((n_sc, n_ag, L)),
+            ag_latent_valid=jnp.any(pp.ag_valid, -1),
+            ag_navi=pp.gt_navi, ag_navi_valid=jnp.any(pp.gt_valid, -1),
+            tl_tokens=tl, mp_tokens=mp, method="step",
+        )
+
+    p_abs, b_abs = _abstract(params), _abstract(batch)
+    b_exp = _expand_batch(b_abs, n_future)
+    enc_once = _lowered_flops(enc, p_abs, b_abs)
+    step = _lowered_flops(full, p_abs, b_exp) - _lowered_flops(enc, p_abs, b_exp)
+    if enc_once <= 0 or step <= 0:
+        return 0.0
+    return enc_once + n_steps * step
+
+
+def _mfu_fields(flops: float, dt: float) -> dict:
+    peak = _peak_flops()
+    out = {}
+    if flops > 0:
+        out["tflops_per_sec"] = round(flops / dt / 1e12, 2)
+        if peak > 0:
+            out["mfu_pct"] = round(100.0 * flops / dt / peak, 2)
+    return out
 
 
 def bench_train(cfg, model, params, batch, n_iters):
@@ -50,8 +158,10 @@ def bench_train(cfg, model, params, batch, n_iters):
 
     opt = make_optimizer(cfg.optimizer, steps_per_epoch=1000)
     opt_state = opt.init(params)
-    step = jax.jit(make_train_step(cfg, model, opt), donate_argnums=(0, 1))
     key = jax.random.PRNGKey(1)
+    step = jax.jit(make_train_step(cfg, model, opt), donate_argnums=(0, 1)).lower(
+        params, opt_state, batch, key, 0
+    ).compile()
     # two warmup calls: the first compiles; the second absorbs a one-time
     # ~minutes runtime stall observed after compiling very large executables
     # on this image (device fully idle during it — profiler-verified), so it
@@ -69,7 +179,7 @@ def bench_train(cfg, model, params, batch, n_iters):
     dt = (time.perf_counter() - t0) / n_iters
     if profile_dir:
         jax.profiler.stop_trace()
-    return dt
+    return dt, step
 
 
 def main():
@@ -86,10 +196,17 @@ def main():
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     check_level = int(os.environ.get("BENCH_CHECK_LEVEL", "1"))
 
-    cfg = leaderboard_config()
+    # BENCH_PRESET=scaled: BASELINE config #5 — wider/deeper backbone (~40M),
+    # 12 s horizons; default = the flagship 10M leaderboard config
+    if os.environ.get("BENCH_PRESET") == "scaled":
+        from trafficbotsv15_tpu.config import scaled_config
+
+        cfg = scaled_config()
+    else:
+        cfg = leaderboard_config()
     import dataclasses
 
-    if os.environ.get("BENCH_REMAT"):  # full | dots | none
+    if os.environ.get("BENCH_REMAT"):  # full | dots | names | none
         cfg = dataclasses.replace(cfg, remat_policy=os.environ["BENCH_REMAT"])
     if os.environ.get("BENCH_USE_PALLAS") == "1":
         m = cfg.model
@@ -103,15 +220,61 @@ def main():
     model = build_model(cfg)
     params = init_params(cfg, model, batch, jax.random.PRNGKey(0))
 
+    n_steps = cfg.time_step_end - cfg.time_step_current  # 80 future steps
+
     if mode == "train":
-        dt = bench_train(cfg, model, params, batch, n_iters)
+        dt, _ = bench_train(cfg, model, params, batch, n_iters)
         n_chips = len([d for d in jax.devices() if d.platform != "cpu"]) or 1
         value = n_sc / dt / n_chips
+        # MFU convention: model flops = 3x forward (fwd + bwd); the full-remat
+        # replay recompute is excluded, so HFU is ~4/3 of this number
+        n_steps_train = cfg.time_step_end - cfg.time_step_sim_start + 1
+        flops = 3.0 * _rollout_flops(cfg, model, params, batch, 1, n_steps_train)
         print(json.dumps({
             "metric": "train_samples_per_sec_per_chip",
             "value": round(value, 3),
             "unit": "samples/s/chip",
             "vs_baseline": round(value / BASELINE_TRAIN_SAMPLES_PER_SEC_PER_CHIP, 2),
+            **_mfu_fields(flops, dt),
+        }))
+        return
+
+    if mode == "validate":
+        # full validation step: reactive replay + joint futures + loss/error/
+        # rule metrics + WOMD post-processing + native WOSAC realism — the
+        # end-to-end per-batch workload of eval/runner.py::validate
+        import dataclasses as _dc
+
+        from trafficbotsv15_tpu.eval.runner import make_validate_step
+
+        cfg = _dc.replace(cfg, n_joint_future_wosac=n_future)
+        step = make_validate_step(cfg, model)
+
+        def run_val(params, batch, key):
+            out = step(params, batch, key)
+            return jax.tree_util.tree_map(jnp.sum, out["loss_metrics"]), jnp.sum(out["wosac_trajs"]), (
+                out["wosac_realism"]["metametric"] if "wosac_realism" in out else 0.0
+            )
+
+        key = jax.random.PRNGKey(1)
+        compiled = jax.jit(run_val).lower(params, batch, key).compile()
+        for w in range(2):  # second warmup absorbs the post-compile stall
+            jax.block_until_ready(compiled(params, batch, jax.random.fold_in(key, 990 + w)))
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            out = compiled(params, batch, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n_iters
+        n_chips = len([d for d in jax.devices() if d.platform != "cpu"]) or 1
+        value = n_sc / dt / n_chips
+        flops = (_rollout_flops(cfg, model, params, batch, 1, n_steps)
+                 + _rollout_flops(cfg, model, params, batch, n_future, n_steps))
+        print(json.dumps({
+            "metric": "wosac_validate_scenarios_per_sec_per_chip",
+            "value": round(value, 3),
+            "unit": "scenarios/s/chip",
+            "vs_baseline": round(value / BASELINE_VALIDATE_SCENARIOS_PER_SEC_PER_CHIP, 2),
+            **_mfu_fields(flops, dt),
         }))
         return
 
@@ -121,8 +284,8 @@ def main():
         # reduce outputs so only scalars come back to host
         return jnp.sum(buf.pred_pose), jnp.sum(buf.violation["collided_wosac"])
 
-    run_jit = jax.jit(run)
     key = jax.random.PRNGKey(1)
+    run_jit = jax.jit(run).lower(params, batch, key).compile()
 
     # warmup / compile (twice: second call absorbs the one-time post-compile
     # runtime stall seen with large executables on this image)
@@ -140,7 +303,6 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
-    n_steps = cfg.time_step_end - cfg.time_step_current  # 80 future steps
     agent_steps = n_sc * n_future * cfg.data.n_ag * n_steps
     n_chips = len([d for d in jax.devices() if d.platform != "cpu"]) or 1
     value = agent_steps / dt / n_chips
@@ -150,6 +312,7 @@ def main():
         "value": round(value, 1),
         "unit": "agent-steps/s/chip",
         "vs_baseline": round(value / BASELINE_AGENT_STEPS_PER_SEC_PER_CHIP, 2),
+        **_mfu_fields(_rollout_flops(cfg, model, params, batch, n_future, n_steps), dt),
     }))
 
 

@@ -34,3 +34,20 @@ def test_validate_end_to_end():
     assert "joint_future_pred/womd/min_ade" in metrics
     assert np.isfinite(metrics["joint_future_pred/womd/min_ade"])
     assert metrics["val/scenarios_per_sec"] > 0
+    # native WOSAC realism is reported end-to-end without the waymo package
+    # (reference: every-epoch official WOSAC metric, wosac.py:79-97)
+    assert 0.0 < metrics["wosac/realism_meta_metric"] <= 1.0
+    for bucket in ("kinematic_metrics", "interactive_metrics", "map_based_metrics"):
+        assert 0.0 < metrics[f"wosac/{bucket}"] <= 1.0
+    for field in (
+        "linear_speed_likelihood", "linear_acceleration_likelihood",
+        "angular_speed_likelihood", "angular_acceleration_likelihood",
+        "distance_to_nearest_object_likelihood", "collision_indication_likelihood",
+        "time_to_collision_likelihood", "distance_to_road_edge_likelihood",
+        "offroad_indication_likelihood", "average_displacement_error",
+        "min_average_displacement_error",
+    ):
+        assert np.isfinite(metrics[f"wosac_likelihood/{field}"]), field
+    assert metrics["wosac_likelihood/min_average_displacement_error"] <= \
+        metrics["wosac_likelihood/average_displacement_error"] + 1e-6
+    assert np.isfinite(metrics["wosac/min_ade"])

@@ -62,6 +62,15 @@ def make_validate_step(cfg: ExperimentCfg, model):
             loss_metrics=loss_metrics, err_sums=err_sums, rr_rule=rr_rule, jf_rule=jf_rule,
             womd_trajs=womd["trajs"], womd_scores=womd["scores"], wosac_trajs=wosac_trajs,
         )
+        # native WOSAC realism metametric on the joint futures — the
+        # package-free equivalent of the reference's every-epoch official
+        # WOSAC metric (wosac.py:79-97 fed at waymo_motion.py:649-659)
+        if cfg.native_wosac_realism and pp2.gt_valid is not None:
+            from trafficbotsv15_tpu.eval.wosac_likelihood import realism_from_rollout
+
+            out["wosac_realism"] = realism_from_rollout(
+                batch, pp2, jf_buf, cfg.time_step_current
+            )
         # native WOMD motion metrics on the reduced modes (minADE/minFDE/MR),
         # for both the K-mode joint futures and the K=1 reactive replay
         # (waymo_motion.py:611-646 runs the official op on both)
@@ -99,6 +108,7 @@ def test_submission(
     n_joint_future: Optional[int] = None,
     max_batches: Optional[int] = None,
     meta=None,
+    mesh=None,
 ):
     """Generate WOMD + WOSAC submissions from the test split (no GT):
     prior latent, predicted navi, K=128 futures filtered to 32
@@ -108,7 +118,9 @@ def test_submission(
     from trafficbotsv15_tpu.eval.wosac_post_processing import get_scenario_rollouts, to_global_frame
 
     model = build_model(cfg)
-    k = n_joint_future or 128  # submission override (configs/resume/submission.yaml)
+    # K from the morph-for-submission config (configs/resume/submission.yaml
+    # sets n_joint_future_wosac=128) unless explicitly overridden
+    k = n_joint_future if n_joint_future is not None else cfg.n_joint_future_wosac
 
     def step(params, batch, key):
         pp, buf = joint_future_pred(cfg, model, params, batch, key, n_joint_future=k)
@@ -122,7 +134,12 @@ def test_submission(
         wosac_trajs = filter_futures(cfg.wosac_post, buf, pp.ag_role, cfg.time_step_current)
         return pp, womd, wosac_trajs
 
-    step_fn = jax.jit(step)
+    # sharded generation: the K x scenario rollouts spread over the data mesh;
+    # replicated outputs = the reference's all-gather of submission tensors
+    # (utils/submission.py:46,170 dist_reduce_fx="cat")
+    from trafficbotsv15_tpu.parallel.mesh import batch_sharding, replicated, shard_batch
+
+    step_fn = None
     meta = meta or SubmissionMeta()
     try:
         sub_womd, sub_wosac = SubWOMD(meta), SubWOSAC(meta, out_dir=f"{out_dir}/WOSAC")
@@ -137,7 +154,15 @@ def test_submission(
             break
         scen_bytes = batch.get("scenario_bytes")
         b = {kk: jnp.asarray(np.asarray(v)) for kk, v in batch.items() if not isinstance(v, list)}
-        pp, womd, wosac_trajs = step_fn(params, b, jax.random.PRNGKey(cfg.seed + i))
+        if step_fn is None:
+            mesh = _eval_mesh(next(iter(b.values())).shape[0], mesh)
+            b_sh, repl = batch_sharding(mesh), replicated(mesh)
+            params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
+            step_fn = jax.jit(step, in_shardings=(repl, b_sh, repl), out_shardings=repl)
+        elif next(iter(b.values())).shape[0] % mesh.devices.size:
+            continue  # uneven tail batch
+        pp, womd, wosac_trajs = step_fn(params, shard_batch(b, mesh),
+                                        jax.random.PRNGKey(cfg.seed + i))
         center = b.get("scenario_center")
         yaw = b.get("scenario_yaw")
         trajs_global = wosac_trajs
@@ -224,9 +249,24 @@ def save_validation_videos(cfg, batch, buf, out_dir: str = "videos", n_vis: int 
     return paths
 
 
+def _eval_mesh(n_sc: int, mesh=None):
+    """Largest data mesh whose size divides the eval batch (the reference
+    validates under DDP with fixed per-rank batches, waymo_motion.py:616-626;
+    here uneven batches just drop to a smaller mesh instead of crashing)."""
+    from trafficbotsv15_tpu.parallel.mesh import make_mesh
+
+    if mesh is not None:
+        return mesh
+    devs = jax.devices()
+    n_data = len(devs)
+    while n_data > 1 and n_sc % n_data:
+        n_data -= 1
+    return make_mesh(n_data=n_data, devices=devs[:n_data])
+
+
 def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None,
              max_batches: Optional[int] = None, logger: Optional[MetricsLogger] = None,
-             video_dir: Optional[str] = None):
+             video_dir: Optional[str] = None, mesh=None):
     model = build_model(cfg)
     logger = logger or MetricsLogger()
     if params is None:
@@ -238,7 +278,14 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         state, cfg_loaded, _ = CheckpointManager(ckpt_dir).restore("last", {"params": example})
         params = state["params"]
 
-    step_fn = jax.jit(make_validate_step(cfg, model))
+    # distributed evaluation: shard the scenario axis over the data mesh —
+    # metric sums reduce under GSPMD (the torchmetrics cross-GPU sync
+    # equivalent) and the post-processed submission arrays come back
+    # replicated, i.e. gathered (waymo_motion.py:616-626 rank-0 idiom)
+    from trafficbotsv15_tpu.parallel.mesh import batch_sharding, replicated, shard_batch
+
+    step_raw = make_validate_step(cfg, model)
+    step_fn = None  # jitted once the first batch fixes the mesh shape
     if video_dir:  # render n_vis_batch reactive-replay videos (waymo_motion.py:662-671)
         from trafficbotsv15_tpu.train.evaluation import reactive_replay as _rr
 
@@ -259,13 +306,22 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         pass
 
     err_sums, rr_rule, jf_rule, losses, womd_vals = {}, {}, {}, [], []
+    realism_sums: Dict[str, float] = {}
+    realism_n = 0
     n = 0
     t0 = time.time()
     for i, batch in enumerate(val_loader):
         if max_batches and i >= max_batches:
             break
         b = {k: jnp.asarray(np.asarray(v)) for k, v in batch.items() if not isinstance(v, list)}
-        out = step_fn(params, b, jax.random.PRNGKey(cfg.seed + i))
+        if step_fn is None:
+            mesh = _eval_mesh(next(iter(b.values())).shape[0], mesh)
+            b_sh, repl = batch_sharding(mesh), replicated(mesh)
+            params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
+            step_fn = jax.jit(step_raw, in_shardings=(repl, b_sh, repl), out_shardings=repl)
+        elif next(iter(b.values())).shape[0] % mesh.devices.size:
+            continue  # uneven tail batch (DDP's DistributedSampler drops these too)
+        out = step_fn(params, shard_batch(b, mesh), jax.random.PRNGKey(cfg.seed + i))
         err_sums = merge_sums(err_sums, jax.tree_util.tree_map(np.asarray, out["err_sums"]))
         rr_rule = merge_sums(rr_rule, jax.tree_util.tree_map(np.asarray, out["rr_rule"]))
         jf_rule = merge_sums(jf_rule, jax.tree_util.tree_map(np.asarray, out["jf_rule"]))
@@ -275,6 +331,10 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         if "womd_rr_metric_vals" in out:
             losses[-1].update({f"reactive_replay/womd/{k}": float(v)
                                for k, v in out["womd_rr_metric_vals"].items()})
+        if "wosac_realism" in out:
+            for k, v in out["wosac_realism"].items():
+                realism_sums[k] = realism_sums.get(k, 0.0) + float(np.sum(np.asarray(v)))
+            realism_n += int(next(iter(out["wosac_realism"].values())).shape[0])
         if wosac_official is not None and "scenario_bytes" in batch and "scenario_id" in batch:
             trajs = out["wosac_trajs"]
             if "scenario_center" in b:
@@ -296,6 +356,16 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         n += next(iter(b.values())).shape[0]
 
     metrics: Dict[str, float] = {}
+    if realism_n > 0:
+        # reference namespaces: wosac/* buckets + wosac_likelihood/* fields
+        # (wosac_metrics.WOSACMetrics.compute naming, wosac.py:79-97)
+        mean = {k: v / realism_n for k, v in realism_sums.items()}
+        metrics["wosac/realism_meta_metric"] = mean.pop("metametric")
+        for bucket in ("kinematic_metrics", "interactive_metrics", "map_based_metrics"):
+            metrics[f"wosac/{bucket}"] = mean.pop(bucket)
+        metrics["wosac/min_ade"] = mean["min_average_displacement_error"]
+        for k, v in mean.items():
+            metrics[f"wosac_likelihood/{k}"] = v
     if wosac_official is not None and wosac_official.counter > 0:
         metrics.update(wosac_official.compute())
     if womd_vals:

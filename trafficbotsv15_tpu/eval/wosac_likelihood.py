@@ -34,9 +34,7 @@ import jax.numpy as jnp
 from trafficbotsv15_tpu.ops.transform import cast_rad
 from trafficbotsv15_tpu.sim.wosac_collision import (
     EXTREMELY_LARGE_DISTANCE,
-    get_ag_bbox,
-    minkowski_sum_boxes,
-    signed_distance_point_to_polygon,
+    pairwise_signed_distance_soa,
 )
 
 
@@ -117,18 +115,10 @@ def kinematic_features(trajs: jnp.ndarray, dt: float = 0.1):
 
 
 def pairwise_signed_distance(pose: jnp.ndarray, ag_size: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Min signed distance to any other valid agent [n_b, n_ag] (WOSAC geometry)."""
-    n_b, n_ag = valid.shape
-    shrink = jnp.minimum(ag_size[..., 0], ag_size[..., 1]) * 0.7 / 2.0
-    corners = get_ag_bbox(pose, ag_size[..., :2] - 2.0 * shrink[..., None])
-    ec = jnp.broadcast_to(corners[:, :, None], (n_b, n_ag, n_ag, 4, 2)).reshape(n_b, n_ag * n_ag, 4, 2)
-    ac = jnp.broadcast_to(corners[:, None], (n_b, n_ag, n_ag, 4, 2)).reshape(n_b, n_ag * n_ag, 4, 2)
-    mink = minkowski_sum_boxes(ec, -1.0 * ac)
-    sd = signed_distance_point_to_polygon(jnp.zeros_like(mink[:, :, 0]), mink).reshape(n_b, n_ag, n_ag)
-    sd = sd - shrink[:, None, :] - shrink[:, :, None]
-    invalid = ~(valid[:, :, None] & valid[:, None, :]) | jnp.eye(n_ag, dtype=bool)[None]
-    sd = jnp.where(invalid, EXTREMELY_LARGE_DISTANCE, sd)
-    return jnp.min(sd, axis=2)
+    """Min signed distance to any other valid agent [n_b, n_ag] (WOSAC
+    geometry; SoA planes — the AoS [n_pair, 4, 2] layout padded 16-32x on TPU
+    when batched over rollouts x steps)."""
+    return jnp.min(pairwise_signed_distance_soa(pose, ag_size, valid), axis=2)
 
 
 def time_to_collision(pose, spd, ag_size, valid, max_ttc: float = 5.0) -> jnp.ndarray:
@@ -150,14 +140,20 @@ def time_to_collision(pose, spd, ag_size, valid, max_ttc: float = 5.0) -> jnp.nd
 
 def distance_to_road_edge(pose, road_edge, road_edge_valid) -> jnp.ndarray:
     """Distance to the nearest road-edge segment [n_b, n_ag] (sign: + = inside
-    is not resolved here; offroad indication uses the rule checker)."""
-    p = pose[..., :2][:, :, None]  # [n_b, n_ag, 1, 2]
-    a = road_edge[:, None, :, 0]  # [n_b, 1, n_seg, 2]
-    b = road_edge[:, None, :, 1]
-    ab = b - a
-    t = jnp.clip(jnp.sum((p - a) * ab, -1) / (jnp.sum(ab * ab, -1) + 1e-9), 0.0, 1.0)
-    closest = a + t[..., None] * ab
-    d = jnp.linalg.norm(p - closest, axis=-1)
+    is not resolved here; offroad indication uses the rule checker).
+
+    SoA: x/y handled as separate [n_b, n_ag, n_seg] planes (segment axis
+    minor) — the AoS [.., n_seg, 2] layout pads 64x on the (8,128) registers."""
+    ax, ay = road_edge[..., 0, 0], road_edge[..., 0, 1]  # [n_b, n_seg]
+    bx, by = road_edge[..., 1, 0], road_edge[..., 1, 1]
+    abx, aby = bx - ax, by - ay
+    denom = (abx * abx + aby * aby + 1e-9)[:, None]  # [n_b, 1, n_seg]
+    px, py = pose[..., 0][..., None], pose[..., 1][..., None]  # [n_b, n_ag, 1]
+    t = jnp.clip(((px - ax[:, None]) * abx[:, None] + (py - ay[:, None]) * aby[:, None]) / denom,
+                 0.0, 1.0)
+    dx = px - (ax[:, None] + t * abx[:, None])
+    dy = py - (ay[:, None] + t * aby[:, None])
+    d = jnp.sqrt(dx * dx + dy * dy)
     d = jnp.where(road_edge_valid[:, None, :], d, EXTREMELY_LARGE_DISTANCE)
     return jnp.min(d, axis=2)
 
@@ -240,12 +236,14 @@ def compute_scenario_likelihoods(
         )
         fields[f"{name}_likelihood"] = _avg_exp(ll, sim_valid)
 
-    # distance to nearest object per step (vmapped over rollouts and steps)
+    # distance to nearest object per step: steps vmapped (SoA planes tile the
+    # vector registers), rollouts mapped sequentially (lax.map) to bound the
+    # pairwise-geometry working set at [n_step, 8, n_ag^2] per iteration
     def per_step_dist(pose_t, valid_t):
         return pairwise_signed_distance(pose_t[None], ag_size[None, :, :2], valid_t[None])[0]
 
-    sim_dist = jax.vmap(lambda tr: jax.vmap(per_step_dist, in_axes=(0, None))(
-        jnp.swapaxes(tr, 0, 1), sim_valid))(sim_trajs)  # [K, n_step, n_ag]
+    sim_dist = jax.lax.map(lambda tr: jax.vmap(per_step_dist, in_axes=(0, None))(
+        jnp.swapaxes(tr, 0, 1), sim_valid), sim_trajs)  # [K, n_step, n_ag]
     sim_dist = jnp.swapaxes(sim_dist, 1, 2)
     log_dist = jax.vmap(per_step_dist, in_axes=(0, 0))(
         jnp.swapaxes(logged_trajs, 0, 1), jnp.swapaxes(logged_valid, 0, 1))
@@ -287,7 +285,7 @@ def compute_scenario_likelihoods(
             return jnp.swapaxes(d, 0, 1)
 
         cfge = FEATURE_CONFIG["distance_to_road_edge"]
-        sim_red = jnp.clip(jax.vmap(edge_dist)(sim_trajs), cfge.val_min, cfge.val_max)
+        sim_red = jnp.clip(jax.lax.map(edge_dist, sim_trajs), cfge.val_min, cfge.val_max)
         log_red = jnp.clip(edge_dist(logged_trajs), cfge.val_min, cfge.val_max)
         ll = histogram_log_likelihood(sim_red, log_red, v_step_sim, v_step, cfge)
         fields["distance_to_road_edge_likelihood"] = _avg_exp(ll, sim_valid)
@@ -306,3 +304,83 @@ def _avg_exp(per_agent_ll: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """exp(mean loglik) over valid agents -> scalar likelihood in (0, 1]."""
     n = jnp.maximum(jnp.sum(valid), 1)
     return jnp.exp(jnp.sum(jnp.where(valid, per_agent_ll, 0.0)) / n)
+
+
+def realism_from_rollout(
+    batch: Dict[str, jnp.ndarray],
+    pp,  # PreProcessedBatch with GT (validation split)
+    jf_buf,  # flattened joint-future RolloutBuffer [n_sc, K, ...]
+    step_current: int,
+    segment_budget: int = 6144,
+) -> Dict[str, jnp.ndarray]:
+    """Native realism metametric for a validation batch, per scenario.
+
+    The glue the reference routes through Waymo's package
+    (src/models/metrics/wosac.py:51-54 compute_scenario_metrics_for_bundle fed
+    at src/pl_modules/waymo_motion.py:649-659): slice the future horizon from
+    the K joint-future rollouts and the logged GT, derive road edges from the
+    packed map, offroad indications from the rule checker's crossing test, and
+    score every likelihood field on-device. Returns a dict of [n_sc] arrays —
+    the 9 likelihood fields, bucket aggregates, "metametric", and WOSAC's
+    average/min_average displacement errors. Mapped sequentially over the
+    scenario axis (lax.map) to bound the pairwise-geometry working set.
+    """
+    from trafficbotsv15_tpu.sim.rule_checker import _check_run_road_edge, build_road_edges
+    from trafficbotsv15_tpu.sim.wosac_collision import get_ag_bbox as _bbox
+
+    road_edge, road_edge_valid = build_road_edges(
+        batch["map/valid"], batch["map/type"].astype(bool), batch["map/pos"],
+        batch["map/dir"], segment_budget,
+    )
+    sim = jf_buf.pred_pose[:, :, :, step_current:]  # [n_sc, K, n_ag, n_fut, 3]
+    # WOSAC simulates every agent present anywhere in the rollout for the full
+    # horizon; per-future validity is spawn-identical across K
+    sim_valid = jnp.any(jf_buf.pred_valid[:, :, :, step_current:], axis=(1, 3))  # [n_sc, n_ag]
+    logged = pp.gt_pose[:, :, step_current + 1:]  # abs steps 11..90, aligned with sim
+    logged_valid = pp.gt_valid[:, :, step_current + 1:]
+    ag_size = pp.ag_size
+
+    # offroad indications: sim from the in-scan rule checker accumulators,
+    # logged by replaying the same crossing test on GT bboxes
+    sim_offroad = jnp.any(
+        jf_buf.violation["run_road_edge_this_step"][:, :, :, step_current:], axis=-1
+    )  # [n_sc, K, n_ag]
+    veh_mask = pp.ag_type[:, :, 0]
+
+    def _offroad_step(args):
+        pose_t, valid_t = args
+        return _check_run_road_edge(valid_t, _bbox(pose_t, ag_size[..., :2]), veh_mask,
+                                    road_edge, road_edge_valid)
+
+    # sequential over steps: the crossing test materializes [n_ag, n_seg, 4]
+    # temporaries that pad 32x on TPU — one step at a time keeps it bounded
+    logged_offroad = jnp.any(
+        jax.lax.map(_offroad_step, (jnp.moveaxis(logged, 2, 0), jnp.moveaxis(logged_valid, 2, 0))),
+        axis=0,
+    )  # [n_sc, n_ag]
+
+    def one_scenario(args):
+        s, sv, l, lv, sz, re, rev, so, lo = args
+        fields = compute_scenario_likelihoods(
+            s, sv, l, lv, sz, road_edge=re, road_edge_valid=rev,
+            sim_offroad=so, logged_offroad=lo,
+        )
+        # WOSAC's displacement errors (FIELD_NAMES average/min_average_
+        # displacement_error): per-agent ADE over valid steps, mean/min over K
+        mask = sv[None, :, None] & lv[None]
+        dist = jnp.where(mask, jnp.linalg.norm(s[..., :2] - l[None, ..., :2], axis=-1), 0.0)
+        ade_k = jnp.sum(dist, -1) / jnp.maximum(jnp.sum(mask, -1), 1)  # [K, n_ag]
+        ag_mask = sv & jnp.any(lv, -1)
+        n_ag_v = jnp.maximum(jnp.sum(ag_mask), 1)
+        fields["average_displacement_error"] = jnp.sum(jnp.where(ag_mask[None], ade_k, 0.0)) / (
+            n_ag_v * ade_k.shape[0]
+        )
+        fields["min_average_displacement_error"] = jnp.sum(
+            jnp.where(ag_mask, jnp.min(jnp.where(ag_mask[None], ade_k, jnp.inf), 0), 0.0)
+        ) / n_ag_v
+        return fields
+
+    return jax.lax.map(one_scenario, (
+        sim, sim_valid, logged, logged_valid, ag_size,
+        road_edge, road_edge_valid, sim_offroad, logged_offroad,
+    ))

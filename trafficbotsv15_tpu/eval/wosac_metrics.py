@@ -4,9 +4,9 @@ Parity target: /root/reference/src/models/metrics/wosac.py — a host-side
 multiprocessing pool over scenarios calling Waymo's official
 `compute_scenario_metrics_for_bundle` with the 2024 challenge config, then
 aggregation into realism-metametric buckets. The official path is preserved
-verbatim behind a gated import; `native_wosac_stats` provides package-free
-distributional statistics (kinematic histograms + collision/offroad rates)
-for monitoring when waymo_open_dataset is unavailable.
+verbatim behind a gated import; when waymo_open_dataset is unavailable the
+package-free realism metametric (eval/wosac_likelihood.py, wired into the
+jitted validate step) reports the same likelihood fields on-device.
 """
 
 from __future__ import annotations
@@ -14,9 +14,7 @@ from __future__ import annotations
 import itertools
 import multiprocessing as mp
 import os
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import Dict, List
 
 FIELD_NAMES = [
     "metametric",
@@ -95,47 +93,3 @@ class WOSACMetrics:
         for k in FIELD_NAMES:
             out[f"{self.prefix}/wosac_likelihood/{k}"] = mean[k]
         return out
-
-
-def native_wosac_stats(
-    trajs: np.ndarray,  # [n_sc, K, n_ag, n_step, 3] simulated futures
-    gt_pose: np.ndarray,  # [n_sc, n_ag, n_step_gt, 3] GT (absolute steps)
-    gt_valid: np.ndarray,  # [n_sc, n_ag, n_step_gt]
-    valid: np.ndarray,  # [n_sc, n_ag] simulated-agent validity
-    collided: Optional[np.ndarray] = None,  # [n_sc, K, n_ag] WOSAC collision flags
-    offroad: Optional[np.ndarray] = None,  # [n_sc, K, n_ag]
-    step_current: int = 10,
-    dt: float = 0.1,
-) -> Dict[str, float]:
-    """Package-free realism monitoring: ADE/minADE vs GT + kinematic stats +
-    collision/offroad rates. Not the official likelihood metametric."""
-    n_step = trajs.shape[3]
-    gt = gt_pose[:, :, step_current + 1 : step_current + 1 + n_step]
-    gv = gt_valid[:, :, step_current + 1 : step_current + 1 + n_step]
-    mask = valid[:, None, :, None] & gv[:, None]
-    dist = np.linalg.norm(trajs[..., :2] - gt[:, None, ..., :2], axis=-1)
-    dist = np.where(mask, dist, 0.0)
-    cnt = np.maximum(mask.sum(-1), 1)
-    ade_k = dist.sum(-1) / cnt  # [n_sc, K, n_ag]
-    ag_mask = valid[:, None, :] & gv.any(-1)[:, None]
-    ade = float((ade_k * ag_mask).sum() / max(ag_mask.sum(), 1))
-    min_ade = float(
-        (np.where(ag_mask, ade_k, np.inf).min(1) * ag_mask.any(1)).sum() / max(ag_mask.any(1).sum(), 1)
-    )
-
-    spd = np.linalg.norm(np.diff(trajs[..., :2], axis=3), axis=-1) / dt
-    out = {
-        "native_wosac/ade": ade,
-        "native_wosac/min_ade": min_ade,
-        "native_wosac/mean_speed": float(spd.mean()),
-        "native_wosac/max_speed": float(spd.max()),
-    }
-    if collided is not None:
-        out["native_wosac/collision_rate"] = float(
-            (collided & valid[:, None]).sum() / max(valid.sum() * collided.shape[1], 1)
-        )
-    if offroad is not None:
-        out["native_wosac/offroad_rate"] = float(
-            (offroad & valid[:, None]).sum() / max(valid.sum() * offroad.shape[1], 1)
-        )
-    return out

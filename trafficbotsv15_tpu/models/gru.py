@@ -56,7 +56,10 @@ class MultiAgentGRU(nn.Module):
                 if i < self.n_layer - 1 and self.dropout_p > 0:
                     out = drops[i](out)
                 new_hs.append(h_i)
-            return jnp.stack(new_hs, axis=0), out
+            # tagged for remat_policy="names" (selective BPTT save)
+            from jax.ad_checkpoint import checkpoint_name
+
+            return checkpoint_name(jnp.stack(new_hs, axis=0), "gru_hidden"), out
 
         if invalid.ndim == 2:  # single step
             new_h, out = cell_stack(h, x)

@@ -18,6 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from trafficbotsv15_tpu.ops.attention import dense_attention, knn_attention
 from trafficbotsv15_tpu.ops.rpe import gather_tgt
@@ -551,7 +552,7 @@ class TransformerLayer(nn.Module):
             )
             if self.dropout_p > 0:
                 s = drop("drop_src")(s)
-            src = src + s
+            src = src + checkpoint_name(s, "sublayer_out")
 
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         src2 = norm1(src)
@@ -578,7 +579,7 @@ class TransformerLayer(nn.Module):
         )
         if self.dropout_p > 0:
             src2 = drop("drop1")(src2)
-        src = src + src2
+        src = src + checkpoint_name(src2, "sublayer_out")
 
         src2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
         src2 = act(nn.Dense(self.k_feedforward * self.d_model, use_bias=self.bias, dtype=self.dtype, name="ffn1")(src2))
@@ -587,7 +588,9 @@ class TransformerLayer(nn.Module):
         src2 = nn.Dense(self.d_model, use_bias=self.bias, dtype=self.dtype, name="ffn2")(src2)
         if self.dropout_p > 0:
             src2 = drop("drop2")(src2)
-        src = src + src2
+        # tagged for remat_policy="names": saving each sub-layer output makes
+        # the BPTT replay per-layer-local (and skips dropout threefry replay)
+        src = src + checkpoint_name(src2, "sublayer_out")
 
         if src_padding_mask is not None:
             src = jnp.where(src_padding_mask[..., None], 0.0, src)

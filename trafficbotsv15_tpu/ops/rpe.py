@@ -104,6 +104,20 @@ def get_rel_dist(
     return jnp.where(invalid[:, :, None] | invalid2[:, None, :], _INF, rel_dist)
 
 
+def _tag_knn(idx_tgt, tgt_invalid_knn, rpe):
+    """checkpoint_name tags for remat_policy="names": the KNN selection is
+    stop-gradient and its exact-sort top-k is one of the most expensive ops of
+    the rollout step — saving these tiny outputs lets the BPTT replay skip the
+    whole distance + sort recomputation (no-op outside jax.checkpoint)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    idx_tgt = checkpoint_name(idx_tgt, "knn_idx")
+    tgt_invalid_knn = checkpoint_name(tgt_invalid_knn, "knn_invalid")
+    if rpe is not None:
+        rpe = checkpoint_name(rpe, "knn_rpe")
+    return idx_tgt, tgt_invalid_knn, rpe
+
+
 def get_tgt_knn(
     tgt_invalid: jnp.ndarray,
     rel_pose: Optional[jnp.ndarray],
@@ -145,7 +159,7 @@ def get_tgt_knn(
     rpe = None
     if rel_pose is not None:
         rpe = jnp.take_along_axis(rel_pose, idx_tgt[..., None], axis=2)
-    return idx_tgt.astype(jnp.int32), tgt_invalid_knn, rpe
+    return _tag_knn(idx_tgt.astype(jnp.int32), tgt_invalid_knn, rpe)
 
 
 def get_tgt_knn_lazy(
@@ -187,7 +201,7 @@ def get_tgt_knn_lazy(
     local_xy = pos2local(tgt_pose_knn[..., :2], src_xy[:, :, None, :], rad2rot(src_yaw))
     local_yaw = rad2local(tgt_pose_knn[..., 2], src_yaw, cast=False)
     rpe = jnp.concatenate([local_xy, local_yaw[..., None]], axis=-1)
-    return idx_tgt.astype(jnp.int32), tgt_invalid_knn, rpe
+    return _tag_knn(idx_tgt.astype(jnp.int32), tgt_invalid_knn, rpe)
 
 
 _ONEHOT_GATHER_SCOPE = [False]

@@ -418,9 +418,18 @@ def rollout(
 
     policy = getattr(cfg, "remat_policy", "full")
     if train and remat and policy != "none":
-        save_policy = (
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable if policy == "dots" else None
-        )
+        if policy == "dots":
+            save_policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif policy == "names":
+            # selective save of small per-step tensors: the BPTT replay then
+            # skips the exact-sort KNN (stop-gradient anyway), dropout
+            # threefry re-hashing, and cross-layer recompute chains, at
+            # ~O(n_tag * n_sc * n_ag * D) extra HBM per step
+            save_policy = jax.checkpoint_policies.save_only_these_names(
+                "knn_idx", "knn_invalid", "knn_rpe", "sublayer_out", "gru_hidden"
+            )
+        else:
+            save_policy = None  # "full"
         body = jax.checkpoint(step_fn, prevent_cse=False, policy=save_policy)
     else:
         body = step_fn

@@ -141,8 +141,10 @@ def _signed_distance_origin_soa(px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray
     return jnp.where(is_inside, -min_dist, min_dist)
 
 
-def check_collided_wosac(pose: jnp.ndarray, ag_size: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """Exact WOSAC collision flag per agent (wosac_collision.py:196-239).
+def pairwise_signed_distance_soa(pose: jnp.ndarray, ag_size: jnp.ndarray,
+                                 valid: jnp.ndarray) -> jnp.ndarray:
+    """Corner-rounded pairwise signed distances [n_sc, n_ag, n_ag] (WOSAC
+    geometry, wosac_collision.py:196-239 before thresholding).
 
     pose [n_sc, n_ag, 3]; ag_size [n_sc, n_ag, >=2]; valid [n_sc, n_ag].
 
@@ -150,7 +152,8 @@ def check_collided_wosac(pose: jnp.ndarray, ag_size: jnp.ndarray, valid: jnp.nda
     geometry is all elementwise math on [n_sc, n_corner, n_ag*n_ag] planes,
     which tiles the TPU's (8, 128) vector registers fully. The AoS layout
     ([n_pair, 4, 2] with a 2-wide minor dim) left 98% of the lanes idle and
-    made this check ~1/3 of the whole rollout.
+    made this check ~1/3 of the whole rollout (and 16-32x HBM padding when
+    batched over rollouts x steps for the realism features).
     """
     n_sc, n_ag, _ = pose.shape
     shrink = jnp.minimum(ag_size[..., 0], ag_size[..., 1]) * CORNER_ROUNDING_FACTOR / 2.0
@@ -170,5 +173,10 @@ def check_collided_wosac(pose: jnp.ndarray, ag_size: jnp.ndarray, valid: jnp.nda
     sd = _signed_distance_origin_soa(px, py).reshape(n_sc, n_ag, n_ag)
     sd = sd - shrink[:, None, :] - shrink[:, :, None]
     invalid = ~(valid[:, :, None] & valid[:, None, :]) | jnp.eye(n_ag, dtype=bool)[None]
-    sd = jnp.where(invalid, EXTREMELY_LARGE_DISTANCE, sd)
+    return jnp.where(invalid, EXTREMELY_LARGE_DISTANCE, sd)
+
+
+def check_collided_wosac(pose: jnp.ndarray, ag_size: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact WOSAC collision flag per agent (wosac_collision.py:196-239)."""
+    sd = pairwise_signed_distance_soa(pose, ag_size, valid)
     return jnp.min(sd, axis=2) < COLLISION_DISTANCE_THRESHOLD
