@@ -114,6 +114,11 @@ def test_fit_wires_swa_and_ema(tmp_path):
     state, rcfg, meta = CheckpointManager(ckpt_dir).restore("last")
     assert rcfg.swa
     assert "swa" in state and "ema" in state
+    # default fit path ranks checkpoints: per-epoch val drives save_best
+    # (reference ModelCheckpoint top-1 on val/loss, configs/callbacks/wandb.yaml)
+    best, _, best_meta = CheckpointManager(ckpt_dir).restore("best")
+    assert "params" in best and "score" in best_meta
+    assert np.isfinite(best_meta["score"])
     # swa started at step 0 -> the average is a real average of visited params
     for leaf in jax.tree_util.tree_leaves(state["swa"]):
         assert np.isfinite(np.asarray(leaf)).all()

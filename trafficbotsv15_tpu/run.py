@@ -57,27 +57,31 @@ def apply_overrides(cfg: ExperimentCfg, overrides: Dict[str, Any]) -> Experiment
     return config_from_dict(d)
 
 
-def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_synthetic: int = 64):
+def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_synthetic: int = 64,
+                     test_mode: bool = False):
     if data == "synthetic":
         from trafficbotsv15_tpu.data.synthetic import make_batch
 
         class SynthLoader:
-            def __init__(self, n_batches, n_sc, seed0):
+            def __init__(self, n_batches, n_sc, seed0, test_mode=False):
                 self.n_batches, self.n_sc, self.seed0 = n_batches, n_sc, seed0
+                self.test_mode = test_mode
 
             def __len__(self):
                 return self.n_batches
 
             def __iter__(self):
                 for i in range(self.n_batches):
-                    yield make_batch(cfg.data, n_sc=self.n_sc, seed=self.seed0 + i)
+                    yield make_batch(cfg.data, n_sc=self.n_sc, seed=self.seed0 + i,
+                                     test_mode=self.test_mode)
 
         n_dev = len(jax.devices())
         bs_train = max(cfg.batch_size_train, 1) * n_dev
         bs_test = max(cfg.batch_size_test, 1) * n_dev
         return (
             SynthLoader(n_synthetic // bs_train, bs_train, 0),
-            SynthLoader(max(n_synthetic // bs_test // 4, 1), bs_test, 10_000),
+            SynthLoader(max(n_synthetic // bs_test // 4, 1), bs_test, 10_000,
+                        test_mode=test_mode),
         )
     n_dev = len(jax.devices())
     if data == "tbcache":
@@ -101,8 +105,14 @@ def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_s
 
 def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         max_steps: Optional[int] = None, log_every: int = 50,
-        validate_every_epoch: bool = False, val_max_batches: int = 8,
+        validate_every_epoch: Optional[bool] = None, val_max_batches: Optional[int] = None,
         ema_decay: float = 0.0, profile_dir: Optional[str] = None):
+    # defaults come from the config so the reference behavior (top-1 on
+    # val/loss + last, every epoch) is the default fit path
+    if validate_every_epoch is None:
+        validate_every_epoch = cfg.validate_every_epoch
+    if val_max_batches is None:
+        val_max_batches = cfg.val_epoch_batches
     mesh = make_mesh()
     b_sh, repl = batch_sharding(mesh), replicated(mesh)
     logger = MetricsLogger()
@@ -217,11 +227,13 @@ def main(argv=None):
     maybe_init_distributed()
     argv = sys.argv[1:] if argv is None else argv
     overrides = parse_overrides(argv)
+    raw_overrides = dict(overrides)
     action = overrides.pop("action", "fit")
     data = overrides.pop("data", "synthetic")
     data_dir = overrides.pop("data_dir", None)
     preset = overrides.pop("preset", "leaderboard")
     max_steps = overrides.pop("max_steps", None)
+    log_every = int(overrides.pop("log_every", 50))
     ckpt_dir = overrides.pop("ckpt_dir", "ckpt")
     profile_dir = overrides.pop("profile_dir", None)
     if overrides.pop("debug_nans", False):
@@ -231,10 +243,11 @@ def main(argv=None):
     cfg = tiny_config() if preset == "tiny" else leaderboard_config()
     cfg = apply_overrides(cfg, overrides)
 
-    train_loader, val_loader = make_dataloaders(cfg, data, data_dir)
+    train_loader, val_loader = make_dataloaders(cfg, data, data_dir,
+                                                test_mode=action == "test")
     if action == "fit":
         fit(cfg, train_loader, val_loader, ckpt_dir=ckpt_dir, max_steps=max_steps,
-            profile_dir=profile_dir)
+            log_every=log_every, profile_dir=profile_dir)
     elif action == "validate":
         from trafficbotsv15_tpu.eval.runner import validate
 
@@ -243,13 +256,22 @@ def main(argv=None):
         from trafficbotsv15_tpu.eval.runner import test_submission
         from trafficbotsv15_tpu.train.checkpoint import CheckpointManager
 
-        first = next(iter(val_loader))
+        if data == "synthetic":
+            # param init traces the posterior path, which needs a GT-carrying
+            # (train-schema) batch; the synthetic test loader is history-only
+            from trafficbotsv15_tpu.data.synthetic import make_batch as _mb
+
+            first = _mb(cfg.data, n_sc=1, seed=0)
+        else:
+            first = next(iter(val_loader))  # h5 val schema is the train/test union
         first_j = {k: jnp.asarray(np.asarray(v)) for k, v in first.items() if not isinstance(v, list)}
         model = build_model(cfg)
         example = init_params(cfg, model, first_j, jax.random.PRNGKey(0))
-        # morph-for-submission: K=128 futures (configs/resume/submission.yaml)
+        # morph-for-submission: K=128 futures (configs/resume/submission.yaml);
+        # an explicit n_joint_future_wosac=... CLI override wins
+        sub_k = int(raw_overrides.get("n_joint_future_wosac", 128))
         state, cfg, _ = CheckpointManager(ckpt_dir).restore(
-            "best", {"params": example}, config_overrides={"n_joint_future_wosac": 128}
+            "best", {"params": example}, config_overrides={"n_joint_future_wosac": sub_k}
         )
         test_submission(cfg, val_loader, state["params"])
     else:
