@@ -113,7 +113,7 @@ def test_pack_to_tbcache_to_fit(tmp_path, monkeypatch):
 
     monkeypatch.chdir(tmp_path)
     cfg = tiny_config()
-    n_ep = 4
+    n_ep = 16  # 2 batches of 1 x 8 devices on the virtual mesh
     batch = make_batch(cfg.data, n_sc=n_ep, seed=7)
     episodes = [{k: v[i] for k, v in batch.items()} for i in range(n_ep)]
     schema = {k: v.shape for k, v in episodes[0].items()}
@@ -131,7 +131,7 @@ def test_pack_to_tbcache_to_fit(tmp_path, monkeypatch):
     run_mod.main([
         "action=fit", "preset=tiny", "data=tbcache", f"data_dir={tmp_path}",
         f"ckpt_dir={ckpt_dir}", "max_steps=2", "max_epochs=1",
-        "batch_size_train=1", "validate_every_epoch=false",
+        "batch_size_train=1", "limit_train_batches=1.0", "validate_every_epoch=false",
     ])
     state, _, meta = CheckpointManager(ckpt_dir).restore("last")
     assert meta["step"] == 2
