@@ -233,6 +233,21 @@ class TrainingMetricsCfg:
 
 
 @dataclasses.dataclass(frozen=True)
+class ParallelCfg:
+    """Mesh layout + parameter-sharding strategy for fit().
+
+    The reference's only parallelism is DDP (run.py:50-52) = strategy "dp".
+    "fsdp" (ZeRO-style: large params split over the data axis, all-gathered
+    at use) and "tp" (megatron-style column/row-parallel projections over the
+    model axis) are the scaling paths for configs that outgrow one chip —
+    both proven on the driver dryrun and the model-axis tests."""
+
+    strategy: str = "dp"  # dp | fsdp | tp
+    model_axis: int = 1  # mesh model-axis size (tp uses >1)
+    fsdp_min_size: int = 2**14  # params below this stay replicated
+
+
+@dataclasses.dataclass(frozen=True)
 class OptimizerCfg:
     lr: float = 2e-4
     weight_decay: float = 1e-1
@@ -318,6 +333,7 @@ class ExperimentCfg:
     reward: RewardCfg = _d(RewardCfg)
     training_metrics: TrainingMetricsCfg = _d(TrainingMetricsCfg)
     optimizer: OptimizerCfg = _d(OptimizerCfg)
+    parallel: ParallelCfg = _d(ParallelCfg)
     womd_post: WOMDPostCfg = _d(WOMDPostCfg)
     wosac_post: WOSACPostCfg = _d(WOSACPostCfg)
 

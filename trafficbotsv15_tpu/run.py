@@ -113,7 +113,7 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         validate_every_epoch = cfg.validate_every_epoch
     if val_max_batches is None:
         val_max_batches = cfg.val_epoch_batches
-    mesh = make_mesh()
+    mesh = make_mesh(n_model=cfg.parallel.model_axis)
     b_sh, repl = batch_sharding(mesh), replicated(mesh)
     logger = MetricsLogger()
 
@@ -122,22 +122,41 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
     first = {k: jnp.asarray(v) for k, v in first.items() if not isinstance(v, list)}
     params = init_params(cfg, model, first, jax.random.PRNGKey(cfg.seed))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    print(f"model parameters: {n_params/1e6:.2f}M, devices: {len(jax.devices())}")
+    print(f"model parameters: {n_params/1e6:.2f}M, devices: {len(jax.devices())}, "
+          f"parallel: {cfg.parallel.strategy}")
 
     steps_per_epoch = max(int(len(train_loader) * cfg.limit_train_batches), 1)
     opt = make_optimizer(cfg.optimizer, steps_per_epoch=steps_per_epoch)
-    opt_state = opt.init(params)
-    put_r = lambda t: jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, t)
-    params, opt_state = put_r(params), put_r(opt_state)
+    # parameter placement by strategy (ParallelCfg): dp replicates; fsdp/tp
+    # shard the params and let GSPMD propagate shardings through the step
+    # (opt state inherits the param shardings via opt.init on placed params)
+    if cfg.parallel.strategy == "fsdp":
+        from trafficbotsv15_tpu.parallel.mesh import fsdp_shard_params
+
+        params = fsdp_shard_params(params, mesh, min_size=cfg.parallel.fsdp_min_size)
+        opt_state = opt.init(params)  # inherits the param shardings
+    elif cfg.parallel.strategy == "tp":
+        from trafficbotsv15_tpu.parallel.mesh import tp_shard_params
+
+        params = tp_shard_params(params, mesh)
+        opt_state = opt.init(params)
+    else:
+        params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, opt.init(params))
 
     # epoch is a traced scalar (teacher-forcing schedules are traceable in it)
     # so epoch changes do NOT trigger a recompile
-    train_step = jax.jit(
-        make_train_step(cfg, model, opt),
-        in_shardings=(repl, repl, b_sh, repl, repl), out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1),
-    )
+    if cfg.parallel.strategy == "dp":
+        train_step = jax.jit(
+            make_train_step(cfg, model, opt),
+            in_shardings=(repl, repl, b_sh, repl, repl), out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+    else:
+        # shardings inferred from the placed params/opt_state; only the batch
+        # is pinned to the data axis
+        train_step = jax.jit(make_train_step(cfg, model, opt), donate_argnums=(0, 1))
     ckpt = CheckpointManager(ckpt_dir)
     key = jax.random.PRNGKey(cfg.seed + 1)
     step = 0
