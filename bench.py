@@ -96,6 +96,8 @@ def _rollout_flops(cfg, model, params, batch, n_future: int, n_steps: int) -> fl
     at the scenario batch + n_steps x the per-step policy at the K-expanded
     batch. Counts the encoder/policy matmul path (latent/navi/dynamics/rule
     checks are excluded — a few % — so MFU reported from this is a floor)."""
+    if os.environ.get("BENCH_MFU") == "0":  # skip the ~minutes of CPU lowering
+        return 0.0
     from trafficbotsv15_tpu.data.preprocessing import pre_processing
 
     W = cfg.model.temp_window_size
@@ -142,6 +144,8 @@ def _rollout_flops(cfg, model, params, batch, n_future: int, n_steps: int) -> fl
 
 
 def _mfu_fields(flops: float, dt: float) -> dict:
+    if os.environ.get("BENCH_MFU") == "0":  # skip the flops lowering (sweeps)
+        return {}
     peak = _peak_flops()
     out = {}
     if flops > 0:

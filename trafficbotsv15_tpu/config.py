@@ -338,7 +338,11 @@ class ExperimentCfg:
     wosac_post: WOSACPostCfg = _d(WOSACPostCfg)
 
     batch_size_train: int = 2
-    batch_size_test: int = 6
+    # the reference uses 6/GPU (h5_womd.yaml) for 24 GB 4090s; on v5e the
+    # measured rollout throughput is strongly batch-shape dependent (273k
+    # agent-steps/s at 4, 194k at 6, 242k at 8 — docs/PERF.md batch sweep):
+    # the K-expanded scan batch wants power-of-two shapes, so default 4
+    batch_size_test: int = 4
     max_epochs: int = 6
     limit_train_batches: float = 0.2
     # per-epoch validation driving best-checkpoint selection (the reference
