@@ -212,6 +212,8 @@ def main():
 
     if os.environ.get("BENCH_REMAT"):  # full | dots | names | none
         cfg = dataclasses.replace(cfg, remat_policy=os.environ["BENCH_REMAT"])
+    if os.environ.get("BENCH_UNROLL"):
+        cfg = dataclasses.replace(cfg, scan_unroll=int(os.environ["BENCH_UNROLL"]))
     if os.environ.get("BENCH_USE_PALLAS") == "1":
         m = cfg.model
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(

@@ -365,6 +365,9 @@ class ExperimentCfg:
     # "full" (recompute everything, min memory), "dots" (save matmul outputs;
     # fails to compile on some backends), "none" (store everything)
     remat_policy: str = "names"
+    # lax.scan unroll factor for the rollout loop (1 = no unroll); >1 trades
+    # compile time for fewer loop iterations on the latency-bound step body
+    scan_unroll: int = 1
 
     @property
     def n_step_hist(self) -> int:

@@ -433,7 +433,11 @@ def rollout(
         body = jax.checkpoint(step_fn, prevent_cse=False, policy=save_policy)
     else:
         body = step_fn
-    _, outs = jax.lax.scan(body, carry, xs)
+    # scan_unroll > 1 replicates the step body inside the compiled while-loop
+    # iteration — a lever for the latency-bound body (fewer loop round-trips,
+    # more fusion scope) at the cost of compile time; A/B'd via BENCH_UNROLL
+    unroll = int(getattr(cfg, "scan_unroll", 1))
+    _, outs = jax.lax.scan(body, carry, xs, unroll=unroll if unroll > 1 else 1)
 
     # step axis first -> step axis at dim 2
     def to_buffer(x):
