@@ -253,6 +253,7 @@ def main(argv=None):
     preset = overrides.pop("preset", "leaderboard")
     max_steps = overrides.pop("max_steps", None)
     log_every = int(overrides.pop("log_every", 50))
+    video_dir = overrides.pop("video_dir", None)
     ckpt_dir = overrides.pop("ckpt_dir", "ckpt")
     profile_dir = overrides.pop("profile_dir", None)
     if overrides.pop("debug_nans", False):
@@ -270,7 +271,9 @@ def main(argv=None):
     elif action == "validate":
         from trafficbotsv15_tpu.eval.runner import validate
 
-        validate(cfg, val_loader, ckpt_dir=ckpt_dir)
+        # video_dir=<dir> renders the reference's per-epoch rollout videos
+        # (waymo_motion.py:662-671 rank-0 cv2/ffmpeg path)
+        validate(cfg, val_loader, ckpt_dir=ckpt_dir, video_dir=video_dir)
     elif action == "test":
         from trafficbotsv15_tpu.eval.runner import test_submission
         from trafficbotsv15_tpu.train.checkpoint import CheckpointManager
