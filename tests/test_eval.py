@@ -114,3 +114,17 @@ def test_wosac_filter_and_global(setup):
     local = np.asarray(trajs[0, 0, 0, 0, :2])
     expect = local @ np.array([[np.cos(0.5), np.sin(0.5)], [-np.sin(0.5), np.cos(0.5)]]) + np.asarray(center[0])
     np.testing.assert_allclose(np.asarray(g[0, 0, 0, 0, :2]), expect, atol=1e-4)
+
+
+def test_scan_unroll_equivalent(setup):
+    """scan_unroll is a pure scheduling knob: unroll=2 reproduces unroll=1
+    rollouts bit-for-bit at the same PRNG key."""
+    import dataclasses
+
+    cfg, batch, model, params = setup
+    _, buf1, *_ = reactive_replay(cfg, model, params, batch, jax.random.PRNGKey(9))
+    cfg2 = dataclasses.replace(cfg, scan_unroll=2)
+    _, buf2, *_ = reactive_replay(cfg2, model, params, batch, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(buf1.pred_valid), np.asarray(buf2.pred_valid))
+    np.testing.assert_allclose(np.asarray(buf1.pred_pose), np.asarray(buf2.pred_pose),
+                               rtol=1e-6, atol=1e-6)
