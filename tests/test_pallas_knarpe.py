@@ -152,3 +152,17 @@ def test_cross_backward_non_divisible_tiles(n_s, s_tile):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(q, tgt, rpe, w_kv, w_rpe, b)
     for a, e, name in zip(gp, gr, ("dq", "dtgt", "drpe", "dw_kv", "dw_rpe", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4, err_msg=name)
+
+
+def test_cross_forward_scaled_dims_tile_clamp():
+    """At scaled dims (d_model=256, K=89) the VMEM budget clamps s_tile below
+    the flagship-tuned 64 (the unclamped tile stack-OOMed Mosaic on-device);
+    the clamped kernel must still match the reference."""
+    from trafficbotsv15_tpu.ops.pallas_knarpe import _pick_s_tile
+
+    assert _pick_s_tile(512, 64, n_knn=89, d_model=256, n_temps=8) < 64
+    n_b, n_s, n_knn, n_head, d_head, r = 1, 48, 89, 8, 32, 16
+    q, tgt, rpe, invalid, w_kv, w_rpe, b = _make_x_inputs(n_b, n_s, n_knn, n_head, d_head, r)
+    expected = knarpe_cross_attention_reference(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head)
+    got = knarpe_cross_attention(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head, 64, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=5e-4)

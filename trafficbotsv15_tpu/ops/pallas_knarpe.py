@@ -206,8 +206,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, rpe_ref, inv_ref, w_ref, wT_ref, b_ref,
     db_ref[...] += db_tile
 
 
-def _pick_s_tile(n_s: int, requested: int) -> int:
-    return max(8, min(requested, n_s))
+def _pick_s_tile(n_s: int, requested: int, n_knn: int = 0, d_model: int = 0,
+                 n_temps: int = 8) -> int:
+    """Clamp the source tile so the kernel's fp32 [s_tile, n_knn, d_model]
+    temporaries (~n_temps of them) fit the ~16M scoped-VMEM budget — at
+    d_model=256 / K=89 the flagship-tuned s_tile=64 stack-OOMs Mosaic."""
+    t = max(8, min(requested, n_s))
+    if n_knn and d_model:
+        budget = 12 * 1024 * 1024  # leave headroom under the 16M limit
+        cap = budget // max(n_knn * d_model * 4 * n_temps, 1)
+        t = min(t, max((cap // 8) * 8, 8))
+    return t
 
 
 def _knarpe_fwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head: int, s_tile: int,
@@ -227,7 +236,7 @@ def _knarpe_fwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, n_head: int, s_tile:
             w_rpe, b_rpe, n_head, s_tile, interpret,
         )
         return out.reshape(n_b, n_s, d_model)
-    s_tile = _pick_s_tile(n_s, s_tile)
+    s_tile = _pick_s_tile(n_s, s_tile, n_knn, d_model, n_temps=8)
     grid = (n_b, pl.cdiv(n_s, s_tile))
     seg, segT = _head_segments(d_model, n_head)
 
@@ -269,7 +278,7 @@ def _knarpe_bwd_pallas(q, k, v, rpe, invalid, w_rpe, b_rpe, g, n_head: int, s_ti
         dq, dk, dv, drpe, dw, db = grads
         return (dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape),
                 drpe.reshape(rpe.shape), dw, db)
-    s_tile = _pick_s_tile(n_s, s_tile)
+    s_tile = _pick_s_tile(n_s, s_tile, n_knn, d_model, n_temps=12)
     grid = (n_b, pl.cdiv(n_s, s_tile))
     seg, segT = _head_segments(d_model, n_head)
 
@@ -427,7 +436,7 @@ def _knarpe_x_fwd_pallas(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head: int,
             w_kv, w_rpe, b, n_head, s_tile, interpret,
         )
         return out.reshape(n_b, n_s, d_model)
-    s_tile = _pick_s_tile(n_s, s_tile)
+    s_tile = _pick_s_tile(n_s, s_tile, n_knn, d_model, n_temps=8)
     grid = (n_b, pl.cdiv(n_s, s_tile))
     seg, segT = _head_segments(d_model, n_head)
 
@@ -555,7 +564,7 @@ def _knarpe_x_bwd_pallas(q, tgt, rpe, invalid, w_kv, w_rpe, b, g, n_head: int,
         dq, dtgt, drpe, dwk, dwr, db = grads
         return (dq.reshape(q.shape), dtgt.reshape(tgt.shape), drpe.reshape(rpe.shape),
                 dwk, dwr, db)
-    s_tile = _pick_s_tile(n_s, s_tile)
+    s_tile = _pick_s_tile(n_s, s_tile, n_knn, d_model, n_temps=12)
     grid = (n_b, pl.cdiv(n_s, s_tile))
     seg, segT = _head_segments(d_model, n_head)
 
