@@ -254,6 +254,8 @@ def main():
         from trafficbotsv15_tpu.eval.runner import make_validate_step
 
         cfg = _dc.replace(cfg, n_joint_future_wosac=n_future)
+        if os.environ.get("BENCH_REALISM") == "0":  # isolate the realism cost
+            cfg = _dc.replace(cfg, native_wosac_realism=False)
         step = make_validate_step(cfg, model)
 
         def run_val(params, batch, key):
