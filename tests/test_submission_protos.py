@@ -240,6 +240,36 @@ def test_submission_pipeline_end_to_end(tmp_path, monkeypatch):
     assert len(t.center_x) == cfg.time_step_gt - cfg.time_step_current
 
 
+def test_submission_uneven_tail_batch_padded(tmp_path, monkeypatch):
+    """A tail batch smaller than the compiled shape is padded onto the mesh
+    and sliced back: every scenario appears in the submission exactly once
+    (a dropped tail would be an incomplete — rejected — submission)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trafficbotsv15_tpu.config import tiny_config
+    from trafficbotsv15_tpu.data.synthetic import make_batch
+    from trafficbotsv15_tpu.eval.runner import test_submission
+    from trafficbotsv15_tpu.train.pipeline import build_model, init_params
+    from waymo_open_dataset.protos import motion_submission_pb2 as mpb
+
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_config()
+    loader = [make_batch(cfg.data, n_sc=2, seed=5, test_mode=True),
+              make_batch(cfg.data, n_sc=1, seed=9, test_mode=True)]
+    init_batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=2, seed=5).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, init_batch, jax.random.PRNGKey(0))
+
+    test_submission(cfg, loader, params, out_dir=str(tmp_path), n_joint_future=4)
+
+    womd_bin = next(tmp_path.glob("*_WOMD/*_WOMD.bin"))
+    msg = mpb.MotionChallengeSubmission.FromString(womd_bin.read_bytes())
+    sids = [p.scenario_id for p in msg.scenario_predictions]
+    assert len(sids) == 3 and len(set(sids)) == 3
+    assert any(s.startswith("synthetic_9_0") for s in sids)
+
+
 def test_wosac_metrics_pool_end_to_end():
     """The official-metrics pool machinery (forkserver pool -> per-scenario
     metric protos -> running sums -> bucket aggregation) runs end-to-end

@@ -9,6 +9,7 @@ error/rule/loss metrics always, and emits submission-ready arrays.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Dict, Optional
 
@@ -149,20 +150,35 @@ def test_submission(
         have_protos = False
 
     results = []
+    n_full = None
     for i, batch in enumerate(test_loader):
         if max_batches and i >= max_batches:
             break
         scen_bytes = batch.get("scenario_bytes")
         b = {kk: jnp.asarray(np.asarray(v)) for kk, v in batch.items() if not isinstance(v, list)}
+        n_real = next(iter(b.values())).shape[0]
         if step_fn is None:
-            mesh = _eval_mesh(next(iter(b.values())).shape[0], mesh)
+            n_full = n_real
+            mesh = _eval_mesh(n_full, mesh)
             b_sh, repl = batch_sharding(mesh), replicated(mesh)
             params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
             step_fn = jax.jit(step, in_shardings=(repl, b_sh, repl), out_shardings=repl)
-        elif next(iter(b.values())).shape[0] % mesh.devices.size:
-            continue  # uneven tail batch
+        elif n_real != n_full:
+            # uneven tail batch: pad (repeating the last scenario) up to the
+            # compiled batch shape, run, and slice outputs back below — a
+            # submission must cover every scenario, so unlike validate() the
+            # tail cannot be dropped; padding also avoids a tail recompile
+            if n_real > n_full or n_full % mesh.devices.size:
+                raise ValueError(f"test batch grew from {n_full} to {n_real}")
+            b = {kk: jnp.concatenate([v, jnp.repeat(v[-1:], n_full - n_real, axis=0)])
+                 for kk, v in b.items()}
         pp, womd, wosac_trajs = step_fn(params, shard_batch(b, mesh),
                                         jax.random.PRNGKey(cfg.seed + i))
+        if n_real != n_full:  # drop the padded duplicates
+            b = {kk: v[:n_real] for kk, v in b.items()}
+            womd = {kk: v[:n_real] for kk, v in womd.items()}
+            wosac_trajs = wosac_trajs[:n_real]
+            pp = dataclasses.replace(pp, ag_role=pp.ag_role[:n_real])
         center = b.get("scenario_center")
         yaw = b.get("scenario_yaw")
         trajs_global = wosac_trajs
