@@ -322,3 +322,43 @@ def test_get_tgt_knn_lazy_matches_eager():
     i2, v2, r2 = get_tgt_knn_lazy(src, src_inv, tgt, tgt_inv, 8, 100.0)
     assert bool(jnp.all(i1 == i2)) and bool(jnp.all(v1 == v2))
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+def test_knn_impl_partial_exact_set(monkeypatch):
+    """The default TB_KNN_IMPL=partial (ApproxTopK at recall_target=1.0)
+    returns exactly the k smallest distances — only the tie-break order may
+    differ from the stable sort, which is semantically irrelevant (attention
+    over the KNN set is permutation-invariant and the rpe is gathered by the
+    same idx)."""
+    from trafficbotsv15_tpu.ops.rpe import _knn_select
+
+    d = RNG.uniform(size=(3, 8, 256)).astype(np.float32)
+    d = np.round(d * 25) / 25  # force ties
+    d[RNG.random(d.shape) < 0.3] = np.inf  # masked pairs
+    part_d, part_i = _knn_select(jnp.asarray(d), 16)
+    monkeypatch.setenv("TB_KNN_IMPL", "sort")
+    sort_d, sort_i = _knn_select(jnp.asarray(d), 16)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(sort_d), axis=-1), np.sort(np.asarray(part_d), axis=-1))
+    # idx agrees with its own values: d[idx] == dist for every selection
+    np.testing.assert_array_equal(
+        np.take_along_axis(d, np.asarray(part_i), axis=-1), np.asarray(part_d))
+
+
+def test_pose_emb_flat_bit_identical(monkeypatch):
+    """TB_POSE_EMB_FLAT=1 (flat [..., pe_dim] formulation — measured slower
+    on v5e, kept as an A/B option) is bit-identical to the default stacked
+    form for both sinusoidal modes."""
+    from trafficbotsv15_tpu.ops.pose_emb import pose_embed_pe_xy_dir, pose_embed_pe_xy_yaw
+
+    xy = jnp.asarray(RNG.normal(size=(9, 17, 2)).astype(np.float32) * 50)
+    yaw = jnp.asarray(RNG.uniform(-np.pi, np.pi, size=(9, 17, 1)).astype(np.float32))
+    for pe_dim in (64, 128):
+        base_dir = np.asarray(pose_embed_pe_xy_dir(xy, yaw, pe_dim, 1e3, 1e1))
+        base_yaw = np.asarray(pose_embed_pe_xy_yaw(xy, yaw, pe_dim, 1e3))
+        monkeypatch.setenv("TB_POSE_EMB_FLAT", "1")
+        flat_dir = np.asarray(pose_embed_pe_xy_dir(xy, yaw, pe_dim, 1e3, 1e1))
+        flat_yaw = np.asarray(pose_embed_pe_xy_yaw(xy, yaw, pe_dim, 1e3))
+        monkeypatch.delenv("TB_POSE_EMB_FLAT")
+        np.testing.assert_array_equal(base_dir, flat_dir)
+        np.testing.assert_array_equal(base_yaw, flat_yaw)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+import numpy as _np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,40 +109,122 @@ def pose_embed_mpa_pl(xy: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def pose_embed_pe_xy_dir(
-    xy: jnp.ndarray, direction: jnp.ndarray, pe_dim: int, theta_xy: float, theta_cs: float
-) -> jnp.ndarray:
-    """Sinusoidal embedding of (x, y, cos, sin), each pe_dim//4. Returns [..., pe_dim].
+def _pe_xy_dir_tables(pe_dim: int, theta_xy: float, theta_cs: float):
+    """Static per-output-slot tables for the flat pe_xy_dir formulation.
 
-    Computed as ONE angle tensor + one cos + one sin + an interleave reshape
-    (bit-identical values and feature order to the per-quantity
-    sinusoid_embed concat, which materialized 8 small tensors and two concat
-    passes — ~3 ms/step of VPU/bandwidth at flagship rollout shapes)."""
-    direction = _as_cos_sin(direction)
+    Returns (fvec [4, pe_dim] f32 jnp constants, sin_mask [pe_dim] bool
+    numpy), where slot j of quantity block qi carries frequency fvec[qi, j]
+    (zero outside its block) and sin_mask marks the sin half of each block —
+    the exact feature order of the stack([cos, sin], -2).reshape interleave.
+    The frequencies are computed with the same jnp f32 ops as the stacked
+    form so the angle products stay bit-identical; the masks are exact
+    0/1 factors, constant-folded by XLA."""
     quarter = pe_dim // 4
     half = quarter // 2
     exponents = jnp.arange(0, quarter, 2, dtype=jnp.float32)[:half] / quarter
     f_xy = 1.0 / (theta_xy**exponents)
     f_cs = 1.0 / (theta_cs**exponents)
-    freqs = jnp.stack([f_xy, f_xy, f_cs, f_cs])  # [4, half]
+    fflat = jnp.concatenate([f_xy] * 4 + [f_cs] * 4)  # [pe_dim]
+    qmask = _np.zeros((4, pe_dim), _np.float32)
+    sin_mask = _np.zeros((pe_dim,), bool)
+    for qi in range(4):
+        qmask[qi, qi * quarter : (qi + 1) * quarter] = 1.0
+        sin_mask[qi * quarter + half : (qi + 1) * quarter] = True
+    fvec = fflat[None, :] * qmask  # [4, pe_dim]
+    return fvec, sin_mask
+
+
+def pose_embed_pe_xy_dir(
+    xy: jnp.ndarray, direction: jnp.ndarray, pe_dim: int, theta_xy: float, theta_cs: float
+) -> jnp.ndarray:
+    """Sinusoidal embedding of (x, y, cos, sin), each pe_dim//4. Returns [..., pe_dim].
+
+    Default: ONE [..., 4, half] angle tensor + one cos + one sin + interleave
+    reshape (bit-identical values/order to the per-quantity sinusoid_embed
+    concat). TB_POSE_EMB_FLAT=1 switches to a flat [..., pe_dim] formulation
+    (angle = sum of per-quantity broadcasts against zero-padded frequency
+    vectors, cos/sin via lane select) — bit-identical, but measured a 16%
+    whole-rollout REGRESSION on v5e (230.3k vs 273.6k agent-steps/s): the
+    select needs BOTH sin and cos over all pe_dim slots, doubling the
+    transcendental work the stacked form does on the half-width angle
+    tensor. Kept for shapes where layout (not VPU) dominates."""
+    import os
+
+    direction = _as_cos_sin(direction)
     q = jnp.concatenate([xy, direction], axis=-1).astype(jnp.float32)  # [..., 4]
-    ang = q[..., :, None] * freqs  # [..., 4, half]
-    emb = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-2)  # [..., 4, 2, half]
-    return emb.reshape(q.shape[:-1] + (pe_dim,))
+    if os.environ.get("TB_POSE_EMB_FLAT", "0") != "1":
+        quarter = pe_dim // 4
+        half = quarter // 2
+        exponents = jnp.arange(0, quarter, 2, dtype=jnp.float32)[:half] / quarter
+        f_xy = 1.0 / (theta_xy**exponents)
+        f_cs = 1.0 / (theta_cs**exponents)
+        freqs = jnp.stack([f_xy, f_xy, f_cs, f_cs])  # [4, half]
+        ang = q[..., :, None] * freqs  # [..., 4, half]
+        emb = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-2)  # [..., 4, 2, half]
+        return emb.reshape(q.shape[:-1] + (pe_dim,))
+    fvec, sin_mask = _pe_xy_dir_tables(pe_dim, theta_xy, theta_cs)
+    ang = (
+        q[..., 0:1] * fvec[0]
+        + q[..., 1:2] * fvec[1]
+        + q[..., 2:3] * fvec[2]
+        + q[..., 3:4] * fvec[3]
+    )  # [..., pe_dim]
+    return jnp.where(jnp.asarray(sin_mask), jnp.sin(ang), jnp.cos(ang))
+
+
+def _pe_xy_yaw_tables(pe_dim: int, theta_xy: float):
+    """Static tables for the flat pe_xy_yaw formulation: (fvec [3, pe_dim]
+    f32 jnp constants, sin_mask [pe_dim] bool numpy). Slot layout matches
+    the sinusoid_embed/sinusoid_embed_rad concat exactly: x block
+    [cos|sin] (pe_dim//4), y block (pe_dim//4), yaw block [cos|sin]
+    (pe_dim//2, integer frequencies). Frequencies use the same jnp f32 ops
+    as the per-quantity embeds, so angle products are bit-identical."""
+    quarter = pe_dim // 4
+    qh = quarter // 2
+    half = pe_dim // 2
+    hh = half // 2
+    exponents = jnp.arange(0, quarter, 2, dtype=jnp.float32)[:qh] / quarter
+    f_xy = 1.0 / (theta_xy**exponents)  # [qh]
+    f_rad = jnp.arange(1, hh + 1, dtype=jnp.float32)  # [hh]
+    fflat = jnp.concatenate([f_xy, f_xy, f_xy, f_xy, f_rad, f_rad])  # [pe_dim]
+    qmask = _np.zeros((3, pe_dim), _np.float32)
+    sin_mask = _np.zeros((pe_dim,), bool)
+    qmask[0, :quarter] = 1.0
+    qmask[1, quarter : 2 * quarter] = 1.0
+    qmask[2, 2 * quarter :] = 1.0
+    sin_mask[qh:quarter] = True
+    sin_mask[quarter + qh : 2 * quarter] = True
+    sin_mask[2 * quarter + hh :] = True
+    fvec = fflat[None, :] * qmask  # [3, pe_dim]
+    return fvec, sin_mask
 
 
 def pose_embed_pe_xy_yaw(xy: jnp.ndarray, direction: jnp.ndarray, pe_dim: int, theta_xy: float) -> jnp.ndarray:
-    """Sinusoidal x/y (pe_dim//4 each) + angular yaw embedding (pe_dim//2)."""
+    """Sinusoidal x/y (pe_dim//4 each) + angular yaw embedding (pe_dim//2).
+
+    Default: the per-quantity stacked embeds. TB_POSE_EMB_FLAT=1 switches to
+    the flat [..., pe_dim] formulation — bit-identical but measured slower
+    (see :func:`pose_embed_pe_xy_dir`); this is the default rollout rpe
+    mode, so it IS the in-scan hot path the A/B measured."""
+    import os
+
     yaw = _as_yaw(direction)
     quarter = pe_dim // 4
-    return jnp.concatenate(
-        [
-            sinusoid_embed(xy[..., 0], quarter, theta_xy),
-            sinusoid_embed(xy[..., 1], quarter, theta_xy),
-            sinusoid_embed_rad(yaw, pe_dim // 2),
-        ],
-        axis=-1,
-    )
+    if os.environ.get("TB_POSE_EMB_FLAT", "0") != "1":
+        return jnp.concatenate(
+            [
+                sinusoid_embed(xy[..., 0], quarter, theta_xy),
+                sinusoid_embed(xy[..., 1], quarter, theta_xy),
+                sinusoid_embed_rad(yaw, pe_dim // 2),
+            ],
+            axis=-1,
+        )
+    fvec, sin_mask = _pe_xy_yaw_tables(pe_dim, theta_xy)
+    x = xy[..., 0:1].astype(jnp.float32)
+    y = xy[..., 1:2].astype(jnp.float32)
+    w = yaw[..., None].astype(jnp.float32)
+    ang = x * fvec[0] + y * fvec[1] + w * fvec[2]  # [..., pe_dim]
+    return jnp.where(jnp.asarray(sin_mask), jnp.sin(ang), jnp.cos(ang))
 
 
 def apply_pose_emb(cfg: PoseEmbConfig, xy: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:

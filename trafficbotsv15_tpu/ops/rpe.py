@@ -23,16 +23,27 @@ _INF = jnp.inf
 def _knn_select(rel_dist: jnp.ndarray, k: int):
     """(dist_knn, idx) of the k smallest distances along the last axis.
 
-    TB_APPROX_KNN=1 routes through lax.approx_min_k (TPU PartialReduce custom
-    call, much faster than the full 1024-wide stable sort top_k lowers to
-    inside the rollout scan). recall 0.99 per element: an agent may rarely see
-    its ~65th-nearest polyline instead of the 64th — measure before enabling
-    for submissions. Default is the exact sort (reference parity, torch.topk).
+    Default (TB_KNN_IMPL=partial): exact-SET top-k via the TPU ApproxTopK
+    custom call at recall_target=1.0 — see the inline comment.
+    TB_KNN_IMPL=sort: the full-width stable variadic sort (bit-stable tie
+    order). TB_APPROX_KNN=1: lax.approx_min_k at recall 0.99 per element —
+    an agent may rarely see its ~65th-nearest polyline instead of the 64th;
+    measure before enabling for submissions.
     """
     import os
 
     if os.environ.get("TB_APPROX_KNN", "0") == "1":
         return jax.lax.approx_min_k(rel_dist, k, recall_target=0.99, aggregate_to_topk=True)
+    if os.environ.get("TB_KNN_IMPL", "partial") == "partial":
+        # EXACT-set top-k through the TPU ApproxTopK custom call (the
+        # DEFAULT): at recall_target=1.0 XLA performs NO partial reduction
+        # (reduction output size == input size), so this returns exactly the
+        # k smallest distances — only the tie-break order among bit-equal
+        # distances may differ from the stable sort (the reference's
+        # torch.topk tie order is arbitrary too). Measured +2.6% whole-
+        # rollout on v5e over the variadic sort (3.35 vs 4.0 ms standalone
+        # at [128,64,1024]); TB_KNN_IMPL=sort restores the stable sort.
+        return jax.lax.approx_min_k(rel_dist, k, recall_target=1.0, aggregate_to_topk=True)
     n = rel_dist.shape[-1]
     chunk = 128
     if (os.environ.get("TB_TWO_STAGE_KNN", "0") == "1"
@@ -235,12 +246,20 @@ def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
         [n_sc, n_src, K, d]
 
     Inside onehot_gather_scope (or with TB_GATHER_ONEHOT=1) the one-hot
-    matmul variant is used (scatter-free backward).
+    matmul variant is used (scatter-free backward) — including for the
+    narrow [.., 3] rel-pose gather: although the one-hot matmul does ~40x
+    the arithmetic of a row gather at width 3, routing the pose gather
+    through the native gather measured a 15% whole-rollout REGRESSION
+    (232.4k vs 273.6k agent-steps/s at batch 4) — the TPU gather engine
+    inside the big scan body is far slower than the profile's 0.66 ms
+    one-hot cost. TB_NARROW_GATHER_NATIVE=1 re-enables that routing for
+    future A/Bs (e.g. if the scan body shrinks).
     """
     import os
 
     if _ONEHOT_GATHER_SCOPE[0] or os.environ.get("TB_GATHER_ONEHOT") == "1":
-        return gather_tgt_onehot(feature, idx_tgt)
+        if feature.shape[-1] > 8 or os.environ.get("TB_NARROW_GATHER_NATIVE", "0") != "1":
+            return gather_tgt_onehot(feature, idx_tgt)
     n_sc, n_src, k = idx_tgt.shape
     flat = idx_tgt.reshape(n_sc, n_src * k)
     out = jnp.take_along_axis(feature, flat[..., None], axis=1)
