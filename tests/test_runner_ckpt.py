@@ -124,6 +124,85 @@ def test_fit_wires_swa_and_ema(tmp_path):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_restore_resume_structure_and_best_persistence(tmp_path):
+    """restore_resume gives optax its NamedTuple opt_state structure back (a
+    raw orbax restore would return plain dicts) and the top-1 best score
+    survives a process restart (resumed fits must not demote "best")."""
+    import optax
+
+    from trafficbotsv15_tpu.config import tiny_config
+    from trafficbotsv15_tpu.train.optimizer import make_optimizer
+
+    cfg = tiny_config()
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    opt = make_optimizer(cfg.optimizer, steps_per_epoch=10)
+    opt_state = opt.init(params)
+    # advance once so the restored state is distinguishable from init
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params2 = optax.apply_updates(params, updates)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save_last(
+        {"params": params2, "opt_state": opt_state, "swa_state": (params2, jnp.ones(()))},
+        cfg, {"step": 3, "epoch": 0},
+    )
+    builders = {
+        "params": lambda: params,
+        "opt_state": lambda: opt.init(params),
+        "swa_state": lambda: (params, jnp.zeros(())),
+        "ema": lambda: params,  # no matching entry in the ckpt: must be skipped
+    }
+    state, rcfg, meta = mgr.restore_resume(builders)
+    assert meta["step"] == 3 and "ema" not in state
+    assert jax.tree_util.tree_structure(state["opt_state"]) == jax.tree_util.tree_structure(opt_state)
+    # the restored opt_state must keep working (structure AND values)
+    u2, _ = opt.update(grads, state["opt_state"], state["params"])
+    u2_ref, _ = opt.update(grads, opt_state, params2)
+    for a, b in zip(jax.tree_util.tree_leaves(u2), jax.tree_util.tree_leaves(u2_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    assert float(state["swa_state"][1]) == 1.0
+
+    # best-score persistence across manager instances
+    assert mgr.save_best({"params": params}, cfg, 1.5, {})
+    fresh = CheckpointManager(str(tmp_path / "ckpt"))
+    assert fresh.best_score == 1.5
+    assert not fresh.save_best({"params": params}, cfg, 2.0, {})
+    assert fresh.save_best({"params": params}, cfg, 1.0, {})
+
+
+@pytest.mark.slow
+def test_fit_resume_cli(tmp_path):
+    """Interrupted fit resumes from the last checkpoint through the CLI:
+    step counter continues, optimizer state carries over, training advances
+    (reference: trainer.resume_from_checkpoint, run.py:45-46)."""
+    from trafficbotsv15_tpu import run as run_mod
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    common = [
+        "action=fit", "preset=tiny", "data=synthetic", f"ckpt_dir={ckpt_dir}",
+        "batch_size_train=1", "max_epochs=2", "limit_train_batches=1.0",
+        "validate_every_epoch=false", "ckpt_every_steps=2", "ema_decay=0.5",
+    ]
+    run_mod.main(common + ["max_steps=3"])
+    state1, _, meta1 = CheckpointManager(ckpt_dir).restore("last")
+    assert meta1["step"] == 3 and "ema" in state1
+
+    run_mod.main(common + ["max_steps=5", "resume=true"])
+    state2, rcfg, meta2 = CheckpointManager(ckpt_dir).restore("last")
+    assert meta2["step"] == 5
+    assert rcfg.ckpt_every_steps == 2  # config came back from the checkpoint
+    # params actually moved in the resumed steps
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state1["params"]),
+            jax.tree_util.tree_leaves(state2["params"]),
+        )
+    ]
+    assert max(diffs) > 0.0
+
+
 def test_swa_ema():
     p = {"w": jnp.asarray([1.0, 2.0])}
     e = ema_init(p)

@@ -350,6 +350,10 @@ class ExperimentCfg:
     # wandb.yaml); val_epoch_batches bounds the cost (trainer limit_val 50)
     validate_every_epoch: bool = True
     val_epoch_batches: int = 8
+    # mid-epoch periodic checkpointing for long runs on preemptible TPUs:
+    # save "last" every N optimizer steps (0 = per-epoch only, the reference's
+    # PL cadence); resume with `resume=true` on the fit CLI
+    ckpt_every_steps: int = 0
     # weight averaging (reference: PL StochasticWeightAveraging callback in
     # configs/callbacks/wandb.yaml; PL default starts at 80% of max_epochs).
     # swa=True keeps an equal-weight average of params from swa_epoch_start

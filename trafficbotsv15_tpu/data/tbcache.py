@@ -215,3 +215,16 @@ class TBCacheLoader:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "build-lib":
         print(build_lib(force=True))
+    elif len(sys.argv) > 1 and sys.argv[1] == "convert":
+        # python -m trafficbotsv15_tpu.data.tbcache convert <in.h5> <out.tbcache> [train|val|test]
+        from trafficbotsv15_tpu.config import DataCfg
+        from trafficbotsv15_tpu.data import h5_dataset as _h5
+
+        split = sys.argv[4] if len(sys.argv) > 4 else "train"
+        schema = {
+            "train": _h5.tensor_size_train, "val": _h5.tensor_size_val, "test": _h5.tensor_size_test,
+        }[split](DataCfg())
+        n = convert_h5(sys.argv[2], sys.argv[3], schema)
+        print(f"converted {n} episodes -> {sys.argv[3]}")
+    else:
+        print(__doc__)

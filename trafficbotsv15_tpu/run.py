@@ -103,10 +103,19 @@ def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_s
     )
 
 
+def _place_like(template, value):
+    """Device-put a restored host pytree onto the placements (sharding + dtype)
+    of a freshly initialized template with the same structure."""
+    return jax.tree_util.tree_map(
+        lambda t, x: jax.device_put(jnp.asarray(x, t.dtype), t.sharding) if hasattr(t, "shape") else x,
+        template, value,
+    )
+
+
 def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         max_steps: Optional[int] = None, log_every: int = 50,
         validate_every_epoch: Optional[bool] = None, val_max_batches: Optional[int] = None,
-        ema_decay: float = 0.0, profile_dir: Optional[str] = None):
+        ema_decay: float = 0.0, profile_dir: Optional[str] = None, resume: bool = False):
     # defaults come from the config so the reference behavior (top-1 on
     # val/loss + last, every epoch) is the default fit path
     if validate_every_epoch is None:
@@ -127,6 +136,32 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
 
     steps_per_epoch = max(int(len(train_loader) * cfg.limit_train_batches), 1)
     opt = make_optimizer(cfg.optimizer, steps_per_epoch=steps_per_epoch)
+    ema_decay = ema_decay or cfg.ema_decay
+    ckpt = CheckpointManager(ckpt_dir)
+
+    # training resumption (reference: trainer.resume_from_checkpoint,
+    # run.py:45-46): restore params/opt_state(+ema/swa) and the step counter
+    # from the "last" checkpoint, then fast-forward the epoch's loader so data
+    # order continues where the interrupted run stopped
+    start_step = 0
+    restored = None
+    if resume and not (ckpt.dir / "last.json").exists():
+        # auto-restart wrappers pass resume=true unconditionally; the very
+        # first launch has nothing to restore and must start fresh
+        print(f"resume requested but {ckpt_dir}/last not found — starting fresh")
+        resume = False
+    if resume:
+        builders = {
+            "params": lambda: params,
+            "opt_state": lambda: opt.init(params),
+            "ema": lambda: jax.tree_util.tree_map(lambda p: jnp.asarray(p, jnp.float32), params),
+            "swa": lambda: params,
+            "swa_state": lambda: (params, jnp.zeros(())),
+        }
+        restored, _, meta = ckpt.restore_resume(builders)
+        params = restored["params"]
+        start_step = int(meta.get("step", 0))
+        print(f"resumed from {ckpt_dir}/last at step {start_step}")
     # parameter placement by strategy (ParallelCfg): dp replicates; fsdp/tp
     # shard the params and let GSPMD propagate shardings through the step
     # (opt state inherits the param shardings via opt.init on placed params)
@@ -144,6 +179,8 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
         opt_state = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, opt.init(params))
+    if restored is not None and "opt_state" in restored:
+        opt_state = _place_like(opt_state, restored["opt_state"])
 
     # epoch is a traced scalar (teacher-forcing schedules are traceable in it)
     # so epoch changes do NOT trigger a recompile
@@ -157,18 +194,22 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         # shardings inferred from the placed params/opt_state; only the batch
         # is pinned to the data axis
         train_step = jax.jit(make_train_step(cfg, model, opt), donate_argnums=(0, 1))
-    ckpt = CheckpointManager(ckpt_dir)
     key = jax.random.PRNGKey(cfg.seed + 1)
-    step = 0
+    if start_step:
+        # a fresh stream for the continuation: deterministic given (seed, step),
+        # though not bit-identical to the keys an uninterrupted run would use
+        key = jax.random.fold_in(key, start_step)
+    step = start_step
     t_start = time.time()
 
     ema = None
     ema_step = None
-    ema_decay = ema_decay or cfg.ema_decay
     if ema_decay > 0:
         from trafficbotsv15_tpu.train.swa import ema_init, ema_update
 
         ema = ema_init(params)
+        if restored is not None and "ema" in restored:
+            ema = _place_like(ema, restored["ema"])
         ema_step = jax.jit(lambda e, p: ema_update(e, p, ema_decay), donate_argnums=(0,))
 
     # SWA (reference: PL StochasticWeightAveraging callback): equal-weight
@@ -180,14 +221,31 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
 
         swa_start = int(cfg.swa_epoch_start * cfg.max_epochs) * steps_per_epoch
         swa_state = swa_init(params)
+        if restored is not None and "swa_state" in restored:
+            swa_state = _place_like(swa_state, tuple(restored["swa_state"]))
         swa_step = jax.jit(
             lambda s, p, i: swa_update(s, p, i, swa_start), donate_argnums=(0,)
         )
 
+    def snapshot():
+        state = {"params": params, "opt_state": opt_state}
+        if ema is not None:
+            state["ema"] = ema
+        if swa_state is not None:
+            from trafficbotsv15_tpu.train.swa import swa_params
+
+            state["swa"] = swa_params(swa_state, params)
+            state["swa_state"] = swa_state
+        return state
+
     from trafficbotsv15_tpu.parallel.mesh import device_prefetch
 
-    for epoch in range(cfg.max_epochs):
-        for batch in device_prefetch(train_loader, b_sh):
+    start_epoch = min(start_step // steps_per_epoch, max(cfg.max_epochs - 1, 0))
+    for epoch in range(start_epoch, cfg.max_epochs):
+        epoch_iter = iter(train_loader)
+        for _ in range(max(step - epoch * steps_per_epoch, 0)):
+            next(epoch_iter, None)  # fast-forward a mid-epoch resume
+        for batch in device_prefetch(epoch_iter, b_sh):
             if step >= steps_per_epoch * (epoch + 1):
                 break
             key, k = jax.random.split(key)
@@ -211,15 +269,11 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
                 m["lr"] = cfg.optimizer.lr * (cfg.optimizer.scheduler_gamma
                                               ** ((step // steps_per_epoch) // cfg.optimizer.scheduler_step_epochs))
                 logger.log(step, m)
+            if cfg.ckpt_every_steps and step % cfg.ckpt_every_steps == 0:
+                ckpt.save_last(snapshot(), cfg, {"step": step, "epoch": epoch})
             if max_steps and step >= max_steps:
                 break
-        state = {"params": params, "opt_state": opt_state}
-        if ema is not None:
-            state["ema"] = ema
-        if swa_state is not None:
-            from trafficbotsv15_tpu.train.swa import swa_params
-
-            state["swa"] = swa_params(swa_state, params)
+        state = snapshot()
         ckpt.save_last(state, cfg, {"step": step, "epoch": epoch})
         if validate_every_epoch:
             from trafficbotsv15_tpu.eval.runner import validate
@@ -256,6 +310,7 @@ def main(argv=None):
     video_dir = overrides.pop("video_dir", None)
     ckpt_dir = overrides.pop("ckpt_dir", "ckpt")
     profile_dir = overrides.pop("profile_dir", None)
+    resume = bool(overrides.pop("resume", False))
     if overrides.pop("debug_nans", False):
         # NaN-checking opt-in (SURVEY.md §5: reference's detect_anomaly analog)
         jax.config.update("jax_debug_nans", True)
@@ -266,13 +321,21 @@ def main(argv=None):
         jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
     cfg = tiny_config() if preset == "tiny" else leaderboard_config()
+    if resume:
+        # base the continuation on the checkpoint's own config (reference
+        # resume semantics, run.py:32-46: saved hparams + CLI overrides on top)
+        from pathlib import Path
+
+        last_json = Path(ckpt_dir) / "last.json"
+        if last_json.exists():
+            cfg = config_from_dict(json.loads(last_json.read_text())["config"])
     cfg = apply_overrides(cfg, overrides)
 
     train_loader, val_loader = make_dataloaders(cfg, data, data_dir,
                                                 test_mode=action == "test")
     if action == "fit":
         fit(cfg, train_loader, val_loader, ckpt_dir=ckpt_dir, max_steps=max_steps,
-            log_every=log_every, profile_dir=profile_dir)
+            log_every=log_every, profile_dir=profile_dir, resume=resume)
     elif action == "validate":
         from trafficbotsv15_tpu.eval.runner import validate
 

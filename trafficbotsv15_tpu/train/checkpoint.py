@@ -62,7 +62,14 @@ class CheckpointManager:
         self.dir = Path(ckpt_dir).absolute()
         self.dir.mkdir(parents=True, exist_ok=True)
         self.keep_best = keep_best
+        # persist top-1 ranking across process restarts (resumed fits must not
+        # overwrite a better historical "best" with a worse score)
         self.best_score: Optional[float] = None
+        best_meta = self.dir / "best.json"
+        if best_meta.exists():
+            score = json.loads(best_meta.read_text()).get("meta", {}).get("score")
+            if score is not None:
+                self.best_score = float(score)
         self._ckptr = ocp.StandardCheckpointer()
 
     def _save(self, name: str, state: Dict[str, Any], cfg: ExperimentCfg, meta: Dict[str, Any]):
@@ -87,6 +94,29 @@ class CheckpointManager:
             self._save("best", state, cfg, {**meta, "score": score})
             return True
         return False
+
+    def restore_resume(
+        self, example_builders: Dict[str, Any], name: str = "last",
+    ) -> Tuple[Dict[str, Any], ExperimentCfg, Dict[str, Any]]:
+        """Restore a fit checkpoint for training resumption.
+
+        A "last" checkpoint holds a flag-dependent subset of
+        {params, opt_state, ema, swa, swa_state}; `example_builders` maps each
+        entry name to a zero-arg callable producing its example pytree (the
+        opt_state example is what gives optax its NamedTuple structure back —
+        a raw restore would return plain dicts). Entries present in the
+        checkpoint but missing a builder are restored raw; builders without a
+        matching checkpoint entry are skipped (e.g. resuming a no-EMA run with
+        ema_decay now on starts a fresh EMA).
+        """
+        path = self.dir / name
+        raw = self._ckptr.restore(path)  # learn which entries were saved
+        example = {
+            k: (example_builders[k]() if k in example_builders else raw[k]) for k in raw
+        }
+        state = self._ckptr.restore(path, example)
+        info = json.loads((self.dir / f"{name}.json").read_text())
+        return state, config_from_dict(info["config"]), info["meta"]
 
     def restore(
         self, name: str = "last", example_state: Optional[Dict[str, Any]] = None,
