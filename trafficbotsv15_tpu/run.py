@@ -282,6 +282,7 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
             ckpt.save_best(state, cfg, vm.get("val/loss", 0.0), {"step": step, "epoch": epoch})
         if max_steps and step >= max_steps:
             break
+    ckpt.wait()  # make the final async save_last durable before returning
     return params, logger
 
 

@@ -70,25 +70,68 @@ class CheckpointManager:
             score = json.loads(best_meta.read_text()).get("meta", {}).get("score")
             if score is not None:
                 self.best_score = float(score)
+        # StandardCheckpointer IS an orbax AsyncCheckpointer: save() returns
+        # once the device->host copy is done and writes to disk in background.
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending = None  # (name, tmp_path, json_payload) of an in-flight save
 
-    def _save(self, name: str, state: Dict[str, Any], cfg: ExperimentCfg, meta: Dict[str, Any]):
-        path = self.dir / name
-        if path.exists():
-            import shutil
+    def _finalize_pending(self):
+        """Complete an in-flight async save: wait for the background write,
+        then atomically swap tmp -> final (keeping the previous checkpoint at
+        <name>.old until the swap is through, so a crash at any point leaves
+        either the old or the new checkpoint restorable) and write the json."""
+        if self._pending is None:
+            return
+        import shutil
 
-            shutil.rmtree(path)
-        self._ckptr.save(path, state)
+        name, tmp, payload = self._pending
+        self._pending = None
         self._ckptr.wait_until_finished()
-        (self.dir / f"{name}.json").write_text(
-            json.dumps({"config": config_to_dict(cfg), "meta": meta})
-        )
+        final, old = self.dir / name, self.dir / f"{name}.old"
+        if old.exists():
+            shutil.rmtree(old)
+        if final.exists():
+            final.rename(old)
+        tmp.rename(final)
+        (self.dir / f"{name}.json").write_text(payload)
+        if old.exists():
+            shutil.rmtree(old)
+
+    def wait(self):
+        """Block until any in-flight async save is durable. Call before the
+        process exits (fit() does) — an unfinalized save is discarded on
+        restart exactly like a save interrupted by preemption."""
+        self._finalize_pending()
+
+    def _save(self, name: str, state: Dict[str, Any], cfg: ExperimentCfg,
+              meta: Dict[str, Any], block: bool = True):
+        self._finalize_pending()
+        import shutil
+
+        tmp = self.dir / f"{name}.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)  # stale leftover from a crashed save
+        self._ckptr.save(tmp, state)
+        self._pending = (name, tmp, json.dumps({"config": config_to_dict(cfg), "meta": meta}))
+        if block:
+            self._finalize_pending()
+
+    def _resolve(self, name: str) -> Path:
+        """Checkpoint path for `name`, falling back to the pre-swap `.old`
+        copy if a crash hit the finalize window between renames."""
+        path = self.dir / name
+        if not path.exists() and (self.dir / f"{name}.old").exists():
+            return self.dir / f"{name}.old"
+        return path
 
     def save_last(self, state, cfg: ExperimentCfg, meta: Dict[str, Any]):
-        self._save("last", state, cfg, meta)
+        """Async: returns after the device->host copy; the disk write overlaps
+        training and is finalized by the next save/restore/wait()."""
+        self._save("last", state, cfg, meta, block=False)
 
     def save_best(self, state, cfg: ExperimentCfg, score: float, meta: Dict[str, Any]):
-        """Keep top-1 on val/loss (lower is better), like ModelCheckpointWB."""
+        """Keep top-1 on val/loss (lower is better), like ModelCheckpointWB.
+        Synchronous: a True return means the ranking is durable on disk."""
         if self.best_score is None or score < self.best_score:
             self.best_score = score
             self._save("best", state, cfg, {**meta, "score": score})
@@ -109,7 +152,8 @@ class CheckpointManager:
         matching checkpoint entry are skipped (e.g. resuming a no-EMA run with
         ema_decay now on starts a fresh EMA).
         """
-        path = self.dir / name
+        self._finalize_pending()
+        path = self._resolve(name)
         raw = self._ckptr.restore(path)  # learn which entries were saved
         example = {
             k: (example_builders[k]() if k in example_builders else raw[k]) for k in raw
@@ -122,7 +166,8 @@ class CheckpointManager:
         self, name: str = "last", example_state: Optional[Dict[str, Any]] = None,
         config_overrides: Optional[Dict[str, Any]] = None,
     ) -> Tuple[Dict[str, Any], ExperimentCfg, Dict[str, Any]]:
-        path = self.dir / name
+        self._finalize_pending()
+        path = self._resolve(name)
         info = json.loads((self.dir / f"{name}.json").read_text())
         cfg_dict = info["config"]
         if config_overrides:
