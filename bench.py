@@ -46,16 +46,19 @@ BASELINE_TRAIN_SAMPLES_PER_SEC_PER_CHIP = 0.34
 # validate mode here also performs (both rollouts + native realism + WOMD)
 BASELINE_VALIDATE_SCENARIOS_PER_SEC_PER_CHIP = 0.051
 
-# published peak bf16 matmul throughput per chip, for MFU reporting
-_PEAK_BF16_FLOPS = {
-    "v6e": 918e12, "v6": 918e12, "v5p": 459e12, "v5e": 197e12,
-    "v5litepod": 197e12, "v5": 459e12, "v4": 275e12, "v3": 123e12,
-}
+# published peak bf16 matmul throughput per chip, for MFU reporting.
+# Substring-matched most-specific-first against the whitespace-stripped
+# device_kind; "v5lite" must precede "v5" (a real v5e reports device_kind
+# "TPU v5 lite" -> "tpuv5lite", which contains neither "v5e" nor "v5p").
+_PEAK_BF16_FLOPS = (
+    ("v6e", 918e12), ("v6", 918e12), ("v5p", 459e12), ("v5e", 197e12),
+    ("v5lite", 197e12), ("v5", 459e12), ("v4", 275e12), ("v3", 123e12),
+)
 
 
 def _peak_flops() -> float:
     kind = "".join(jax.devices()[0].device_kind.lower().split())
-    for name, peak in _PEAK_BF16_FLOPS.items():
+    for name, peak in _PEAK_BF16_FLOPS:
         if name in kind:
             return peak
     return 0.0
@@ -149,9 +152,12 @@ def _mfu_fields(flops: float, dt: float) -> dict:
     peak = _peak_flops()
     out = {}
     if flops > 0:
-        out["tflops_per_sec"] = round(flops / dt / 1e12, 2)
+        # flops is for the whole (global-batch) call; report per-chip like the
+        # throughput fields, so MFU stays comparable across device counts
+        per_chip = flops / max(len(jax.devices()), 1)
+        out["tflops_per_sec"] = round(per_chip / dt / 1e12, 2)
         if peak > 0:
-            out["mfu_pct"] = round(100.0 * flops / dt / peak, 2)
+            out["mfu_pct"] = round(100.0 * per_chip / dt / peak, 2)
     return out
 
 

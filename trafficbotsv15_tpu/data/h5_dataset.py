@@ -176,7 +176,19 @@ class DataLoader:
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle order to an absolute epoch number (torch
+        DistributedSampler idiom) so a resumed run replays the same
+        permutation the interrupted run used for that epoch."""
+        self.epoch = epoch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate the epoch from batch `start_batch`: skipped batches are
+        dropped from the index list without reading any data (mid-epoch
+        resume would otherwise decode every skipped batch)."""
         idx = np.arange(len(self.ds))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
@@ -185,6 +197,7 @@ class DataLoader:
         batches = [idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        batches = batches[start_batch:]
 
         if self.num_workers <= 0:
             for b in batches:

@@ -200,12 +200,22 @@ class TBCacheLoader:
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle order to an absolute epoch number, so a resumed
+        run replays the interrupted epoch's permutation."""
+        self.epoch = epoch
+
     def __iter__(self):
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int = 0):
+        """Iterate from batch `start_batch` without reading skipped records
+        (mid-epoch resume skips by index, not by decoding)."""
         idx = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
         self.epoch += 1
-        for i in range(0, len(idx), self.batch_size):
+        for i in range(start_batch * self.batch_size, len(idx), self.batch_size):
             b = idx[i : i + self.batch_size]
             if self.drop_last and len(b) < self.batch_size:
                 break

@@ -71,7 +71,10 @@ def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_s
                 return self.n_batches
 
             def __iter__(self):
-                for i in range(self.n_batches):
+                return self.iter_from(0)
+
+            def iter_from(self, start_batch=0):
+                for i in range(start_batch, self.n_batches):
                     yield make_batch(cfg.data, n_sc=self.n_sc, seed=self.seed0 + i,
                                      test_mode=self.test_mode)
 
@@ -242,9 +245,18 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
 
     start_epoch = min(start_step // steps_per_epoch, max(cfg.max_epochs - 1, 0))
     for epoch in range(start_epoch, cfg.max_epochs):
-        epoch_iter = iter(train_loader)
-        for _ in range(max(step - epoch * steps_per_epoch, 0)):
-            next(epoch_iter, None)  # fast-forward a mid-epoch resume
+        if hasattr(train_loader, "set_epoch"):
+            # shuffle order keyed on the absolute epoch: a resumed run
+            # replays the interrupted epoch's permutation, so the index
+            # fast-forward below lands on the right data
+            train_loader.set_epoch(epoch)
+        skip = max(step - epoch * steps_per_epoch, 0)
+        if hasattr(train_loader, "iter_from"):
+            epoch_iter = train_loader.iter_from(skip)  # index skip, no decode
+        else:
+            epoch_iter = iter(train_loader)
+            for _ in range(skip):
+                next(epoch_iter, None)
         for batch in device_prefetch(epoch_iter, b_sh):
             if step >= steps_per_epoch * (epoch + 1):
                 break

@@ -125,12 +125,11 @@ def init_rule_checker(
     ped = ag_type[:, :, 1]
     collision_invalid = ego | (ped[:, None, :] & ped[:, :, None])
 
-    road_edge_valid = mp_valid & jnp.any(mp_type[:, :, jnp.array([4, 5, 7])], axis=-1, keepdims=True)
-    road_edge = jnp.stack([mp_pos, mp_pos + mp_dir], axis=-2)
+    # same derivation the native WOSAC realism features use — the in-scan
+    # offroad accumulators and the logged-offroad recompute must agree
+    road_edge, road_edge_valid = build_road_edges(
+        mp_valid, mp_type, mp_pos, mp_dir, segment_budget)
     n_seg = mp_valid.shape[1] * mp_valid.shape[2]
-    road_edge = road_edge.reshape(n_sc, n_seg, 2, 2)
-    road_edge_valid = road_edge_valid.reshape(n_sc, n_seg)
-    road_edge_valid, road_edge = _compact_segments(road_edge_valid, segment_budget, road_edge)
 
     lane_center_valid = (mp_valid & jnp.any(mp_type[:, :, :3], axis=-1, keepdims=True)).reshape(n_sc, n_seg)
     lane_center = mp_pos.reshape(n_sc, n_seg, 2)

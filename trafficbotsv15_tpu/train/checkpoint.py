@@ -88,9 +88,12 @@ class CheckpointManager:
         self._pending = None
         self._ckptr.wait_until_finished()
         final, old = self.dir / name, self.dir / f"{name}.old"
-        if old.exists():
-            shutil.rmtree(old)
         if final.exists():
+            # drop any older .old only when final is here to replace it — after
+            # a crash that left just .old, it stays restorable until the new
+            # checkpoint is fully in place
+            if old.exists():
+                shutil.rmtree(old)
             final.rename(old)
         tmp.rename(final)
         (self.dir / f"{name}.json").write_text(payload)
@@ -154,9 +157,19 @@ class CheckpointManager:
         """
         self._finalize_pending()
         path = self._resolve(name)
-        raw = self._ckptr.restore(path)  # learn which entries were saved
+        # entry names (and, for builder-less entries, array shapes) come from
+        # the checkpoint metadata — reading the data itself here would double
+        # resume-time I/O and transiently hold two copies of training state
+        md_tree = self._ckptr.metadata(path).item_metadata.tree
+        import jax
+
+        def _md_example(t):
+            return jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), t)
+
         example = {
-            k: (example_builders[k]() if k in example_builders else raw[k]) for k in raw
+            k: (example_builders[k]() if k in example_builders else _md_example(md_tree[k]))
+            for k in md_tree
         }
         state = self._ckptr.restore(path, example)
         info = json.loads((self.dir / f"{name}.json").read_text())
