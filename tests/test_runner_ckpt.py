@@ -203,6 +203,52 @@ def test_fit_resume_cli(tmp_path):
     assert max(diffs) > 0.0
 
 
+@pytest.mark.slow
+def test_fit_sigterm_graceful_checkpoint(tmp_path):
+    """SIGTERM mid-fit (preemption) checkpoints "last" after the in-flight
+    step and returns; a resume=true relaunch continues from there."""
+    import os
+    import signal
+    import threading
+
+    from trafficbotsv15_tpu import run as run_mod
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    common = [
+        "action=fit", "preset=tiny", "data=synthetic", f"ckpt_dir={ckpt_dir}",
+        "batch_size_train=1", "max_epochs=5", "validate_every_epoch=false",
+    ]
+    import time
+
+    done = threading.Event()
+
+    def _kill_once_handler_installed():
+        # fire only after fit() has installed its graceful handler — a raw
+        # SIGTERM before that would kill the test process
+        for _ in range(1200):
+            if done.is_set():
+                return
+            if signal.getsignal(signal.SIGTERM) != signal.SIG_DFL:
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            time.sleep(0.5)
+
+    killer = threading.Thread(target=_kill_once_handler_installed, daemon=True)
+    killer.start()
+    try:
+        run_mod.main(common)  # no max_steps: only the signal stops it
+    finally:
+        done.set()
+    state1, _, meta1 = CheckpointManager(ckpt_dir).restore("last")
+    assert 1 <= meta1["step"] < 5 * 64  # stopped long before the full run
+    # handlers restored after fit
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+    run_mod.main(common + [f"max_steps={meta1['step'] + 1}", "resume=true"])
+    _, _, meta2 = CheckpointManager(ckpt_dir).restore("last")
+    assert meta2["step"] == meta1["step"] + 1
+
+
 def test_async_save_overlap_and_crash_windows(tmp_path):
     """save_last is async (finalized lazily) but must snapshot values at save
     time: donating/overwriting the saved buffers before the write finishes

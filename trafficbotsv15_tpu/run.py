@@ -243,58 +243,90 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
 
     from trafficbotsv15_tpu.parallel.mesh import device_prefetch
 
+    # preemption handling (the reference's SLURM trap only echoes;
+    # bash/train.sh): SIGTERM/SIGINT request a graceful stop — the current
+    # step finishes, "last" is checkpointed, and fit returns so a wrapper can
+    # relaunch with resume=true. Second SIGINT falls through to KeyboardInterrupt.
+    import signal
+
+    stop_signal = []
+    prev_handlers = {}
+
+    def _request_stop(signum, frame):
+        if stop_signal and signum == signal.SIGINT:
+            raise KeyboardInterrupt
+        stop_signal.append(signum)
+        print(f"signal {signal.Signals(signum).name} received — "
+              "checkpointing after this step, then exiting (resume with resume=true)")
+
+    try:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+    except ValueError:
+        prev_handlers = {}  # not in the main thread (e.g. threaded tests)
+
     start_epoch = min(start_step // steps_per_epoch, max(cfg.max_epochs - 1, 0))
-    for epoch in range(start_epoch, cfg.max_epochs):
-        if hasattr(train_loader, "set_epoch"):
-            # shuffle order keyed on the absolute epoch: a resumed run
-            # replays the interrupted epoch's permutation, so the index
-            # fast-forward below lands on the right data
-            train_loader.set_epoch(epoch)
-        skip = max(step - epoch * steps_per_epoch, 0)
-        if hasattr(train_loader, "iter_from"):
-            epoch_iter = train_loader.iter_from(skip)  # index skip, no decode
-        else:
-            epoch_iter = iter(train_loader)
-            for _ in range(skip):
-                next(epoch_iter, None)
-        for batch in device_prefetch(epoch_iter, b_sh):
-            if step >= steps_per_epoch * (epoch + 1):
+    try:
+        for epoch in range(start_epoch, cfg.max_epochs):
+            if hasattr(train_loader, "set_epoch"):
+                # shuffle order keyed on the absolute epoch: a resumed run
+                # replays the interrupted epoch's permutation, so the index
+                # fast-forward below lands on the right data
+                train_loader.set_epoch(epoch)
+            skip = max(step - epoch * steps_per_epoch, 0)
+            if hasattr(train_loader, "iter_from"):
+                epoch_iter = train_loader.iter_from(skip)  # index skip, no decode
+            else:
+                epoch_iter = iter(train_loader)
+                for _ in range(skip):
+                    next(epoch_iter, None)
+            for batch in device_prefetch(epoch_iter, b_sh):
+                if step >= steps_per_epoch * (epoch + 1):
+                    break
+                key, k = jax.random.split(key)
+                # tracing / profiling hook (SURVEY.md §5): capture steps 3-5 once
+                # compiles are warm; view with xprof/tensorboard or Perfetto
+                if profile_dir and step == 3:
+                    jax.profiler.start_trace(profile_dir)
+                params, opt_state, metrics = train_step(params, opt_state, batch, k, epoch)
+                if ema is not None:
+                    ema = ema_step(ema, params)
+                if swa_state is not None:
+                    swa_state = swa_step(swa_state, params, jnp.asarray(step, jnp.float32))
+                step += 1
+                if profile_dir and step == 6:
+                    jax.block_until_ready(metrics["training/loss"])
+                    jax.profiler.stop_trace()
+                if step % log_every == 0 or step == 1:
+                    m = {kk: float(vv) for kk, vv in metrics.items()}
+                    m["steps_per_sec"] = step / (time.time() - t_start)
+                    # LearningRateMonitor equivalent (SURVEY.md §5 W&B LR logging)
+                    m["lr"] = cfg.optimizer.lr * (cfg.optimizer.scheduler_gamma
+                                                  ** ((step // steps_per_epoch) // cfg.optimizer.scheduler_step_epochs))
+                    logger.log(step, m)
+                if cfg.ckpt_every_steps and step % cfg.ckpt_every_steps == 0:
+                    ckpt.save_last(snapshot(), cfg, {"step": step, "epoch": epoch})
+                if stop_signal:
+                    break
+                if max_steps and step >= max_steps:
+                    break
+            state = snapshot()
+            ckpt.save_last(state, cfg, {"step": step, "epoch": epoch})
+            if stop_signal:
                 break
-            key, k = jax.random.split(key)
-            # tracing / profiling hook (SURVEY.md §5): capture steps 3-5 once
-            # compiles are warm; view with xprof/tensorboard or Perfetto
-            if profile_dir and step == 3:
-                jax.profiler.start_trace(profile_dir)
-            params, opt_state, metrics = train_step(params, opt_state, batch, k, epoch)
-            if ema is not None:
-                ema = ema_step(ema, params)
-            if swa_state is not None:
-                swa_state = swa_step(swa_state, params, jnp.asarray(step, jnp.float32))
-            step += 1
-            if profile_dir and step == 6:
-                jax.block_until_ready(metrics["training/loss"])
-                jax.profiler.stop_trace()
-            if step % log_every == 0 or step == 1:
-                m = {kk: float(vv) for kk, vv in metrics.items()}
-                m["steps_per_sec"] = step / (time.time() - t_start)
-                # LearningRateMonitor equivalent (SURVEY.md §5 W&B LR logging)
-                m["lr"] = cfg.optimizer.lr * (cfg.optimizer.scheduler_gamma
-                                              ** ((step // steps_per_epoch) // cfg.optimizer.scheduler_step_epochs))
-                logger.log(step, m)
-            if cfg.ckpt_every_steps and step % cfg.ckpt_every_steps == 0:
-                ckpt.save_last(snapshot(), cfg, {"step": step, "epoch": epoch})
+            if validate_every_epoch:
+                from trafficbotsv15_tpu.eval.runner import validate
+
+                vm = validate(cfg, val_loader, params=params, max_batches=val_max_batches, logger=logger)
+                ckpt.save_best(state, cfg, vm.get("val/loss", 0.0), {"step": step, "epoch": epoch})
             if max_steps and step >= max_steps:
                 break
-        state = snapshot()
-        ckpt.save_last(state, cfg, {"step": step, "epoch": epoch})
-        if validate_every_epoch:
-            from trafficbotsv15_tpu.eval.runner import validate
-
-            vm = validate(cfg, val_loader, params=params, max_batches=val_max_batches, logger=logger)
-            ckpt.save_best(state, cfg, vm.get("val/loss", 0.0), {"step": step, "epoch": epoch})
-        if max_steps and step >= max_steps:
-            break
-    ckpt.wait()  # make the final async save_last durable before returning
+    finally:
+        # always restore handlers and flush the async save, even if a
+        # step raises — leaked handlers would outlive fit() in-process
+        ckpt.wait()
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
     return params, logger
 
 
