@@ -27,3 +27,35 @@ def test_fit_parallel_strategy(tmp_path, monkeypatch, strategy, model_axis):
     assert meta["step"] == 2
     for leaf in jax.tree_util.tree_leaves(state["params"]):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_hybrid_slice_mesh_ordering():
+    """Multi-slice device ordering: the model axis must stay inside a slice
+    and slices must form contiguous outer blocks of the data axis (DCN outer,
+    ICI inner). Exercised with the 8 virtual CPU devices + synthetic,
+    deliberately interleaved slice ids; the resulting mesh must execute."""
+    import jax.numpy as jnp
+
+    from trafficbotsv15_tpu.parallel.mesh import (
+        DATA_AXIS, MODEL_AXIS, Mesh, order_devices_for_slices, replicated,
+    )
+
+    devs = jax.devices()
+    assert len(devs) == 8
+    slice_ids = [0, 1, 0, 1, 0, 1, 0, 1]  # interleaved: ordering must fix this
+    order, n_data = order_devices_for_slices(devs, slice_ids, n_model=2)
+    assert n_data == 4 and len(order) == 8
+    # slice 0's devices (even ids) first, then slice 1's
+    assert [d.id % 2 for d in order] == [0] * 4 + [1] * 4
+    # each model-axis row (consecutive pair) stays within one slice
+    arr = np.asarray(order).reshape(n_data, 2)
+    for row in arr:
+        assert (row[0].id % 2) == (row[1].id % 2)
+
+    mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    x = jax.device_put(jnp.ones((8, 4)), replicated(mesh))
+    assert float(jnp.sum(x)) == 32.0
+
+    # uneven slices truncate to the common per-slice count
+    order2, n_data2 = order_devices_for_slices(devs, [0, 0, 0, 1, 1, 2, 2, 2], n_model=1)
+    assert n_data2 == 6 and len(order2) == 6

@@ -46,10 +46,42 @@ def maybe_init_distributed() -> bool:
         return False  # already initialized or single-process
 
 
+def order_devices_for_slices(devices: Sequence, slice_ids: Sequence[int], n_model: int):
+    """Order devices slice-major for a hybrid ICI x DCN mesh.
+
+    Multi-slice TPU jobs (e.g. two v5e-256 pods over DCN) must keep the model
+    axis — and the fast share of data-parallel — INSIDE a slice, with the
+    slice group as the outer blocks of the data axis, so the gradient psum
+    decomposes into per-slice ICI all-reduces plus one small DCN all-reduce
+    of partials (the scaling-book hybrid-mesh recipe). Returns the reordered
+    device list (truncated so every slice contributes the same count,
+    divisible by n_model) and the resulting data-axis size.
+    """
+    groups = {}
+    for d, s in zip(devices, slice_ids):
+        groups.setdefault(s, []).append(d)
+    per = min(len(g) for g in groups.values())
+    per -= per % max(n_model, 1)
+    order = [d for s in sorted(groups) for d in groups[s][:per]]
+    return order, len(groups) * (per // max(n_model, 1))
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices: Optional[Sequence] = None) -> Mesh:
-    """Create a (data, model) mesh. Defaults to all devices on the data axis."""
+    """Create a (data, model) mesh. Defaults to all devices on the data axis.
+
+    Multi-slice jobs (devices exposing distinct `slice_index`, i.e. DCN-
+    connected pods) are ordered slice-major via order_devices_for_slices so
+    the model axis never crosses DCN and collectives ride ICI within each
+    slice. Single-slice (and this image's single chip / virtual CPU mesh)
+    takes the plain reshape path.
+    """
     devices = list(jax.devices()) if devices is None else list(devices)
-    if n_data is None:
+    slice_ids = [getattr(d, "slice_index", 0) or 0 for d in devices]
+    if len(set(slice_ids)) > 1:
+        devices, auto_n_data = order_devices_for_slices(devices, slice_ids, n_model)
+        if n_data is None:
+            n_data = auto_n_data
+    elif n_data is None:
         n_data = len(devices) // n_model
     arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
