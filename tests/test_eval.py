@@ -100,6 +100,29 @@ def test_womd_post_processing(setup):
     assert s2[0, 0, 1] < 0.01 and s2[0, 0, 0] > 0.98
 
 
+def test_womd_aggr_under_jit(setup):
+    """The EM aggregation path (aggr_thresh) runs host-side via pure_callback:
+    every caller of womd_post_process is jitted (runner.py step functions), so
+    the mode must trace — regression for np.asarray on tracers."""
+    import dataclasses
+
+    cfg, *_ = setup
+    rng = np.random.default_rng(1)
+    n_sc, K, n_ag, n_step = 1, 8, 3, 20
+    trajs = jnp.asarray(rng.normal(size=(n_sc, K, n_ag, n_step, 3)).astype(np.float32)) * 10
+    scores = jnp.asarray(rng.normal(size=(n_sc, K, n_ag)).astype(np.float32))
+    ag_type = jnp.asarray(np.eye(3, dtype=bool)[rng.integers(0, 3, (n_sc, n_ag))])
+    pcfg = dataclasses.replace(cfg.womd_post, aggr_thresh=(2.0,), n_iter_em=3)
+
+    out = jax.jit(lambda t, s: womd_post_process(pcfg, ag_type, t, s, track_future_samples=n_step))(
+        trajs, scores)
+    k_pred = pcfg.k_pred
+    assert out["trajs"].shape == (n_sc, n_ag, k_pred, len(range(4, n_step, 5)), 3)
+    s = np.asarray(out["scores"])
+    np.testing.assert_allclose(s.sum(-1), 1.0, atol=1e-5)
+    assert np.isfinite(np.asarray(out["trajs"])).all()
+
+
 def test_wosac_filter_and_global(setup):
     cfg, batch, model, params = setup
     K = 4

@@ -103,6 +103,28 @@ def test_noise_lowers_metametric():
     assert np.all(np.asarray(noisy["average_displacement_error"]) > 0.5)
 
 
+def test_min_ade_is_best_whole_rollout():
+    """WOSAC's min-ADE is the min over rollouts of the AGENT-AVERAGED ADE
+    (tf.reduce_min(tf.reduce_mean(...))), not a per-agent best-rollout
+    cherry-pick (which would report an unachievable composite)."""
+    batch, pp, buf = _make_inputs(noise=0.0)
+    # rollout k tracks agent k perfectly but offsets every other agent by 2 m
+    pose = np.asarray(buf.pred_pose).copy()
+    for k in range(K):
+        for a in range(N_AG):
+            if a != k:
+                pose[:, k, a, :, 0] += 2.0
+    buf = dataclasses.replace(buf, pred_pose=jnp.asarray(pose))
+    out = realism_from_rollout(batch, pp, buf, STEP_CUR)
+    expected = 2.0 * (N_AG - 1) / N_AG  # best single rollout's scenario ADE
+    np.testing.assert_allclose(np.asarray(out["min_average_displacement_error"]),
+                               expected, rtol=1e-5)
+    # the cherry-picked composite would be 2.0 / N_AG = 0.4 — must not match
+    assert np.all(np.asarray(out["min_average_displacement_error"]) > 1.0)
+    np.testing.assert_allclose(np.asarray(out["average_displacement_error"]),
+                               expected, rtol=1e-5)
+
+
 def test_glue_matches_direct_call():
     """The batch glue adds no re-scoring: scenario 0 equals a direct
     compute_scenario_likelihoods call on the same slices."""

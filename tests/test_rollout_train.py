@@ -25,7 +25,8 @@ def setup():
     return cfg, batch, model, params
 
 
-def _run_rollout(cfg, batch, model, params, check_level=0, deterministic_action=True):
+def _run_rollout(cfg, batch, model, params, check_level=0, deterministic_action=True,
+                 zero_forcing=False, **extra):
     pp = pre_processing(batch, tl_mode=cfg.model.tl_mode, navi_mode=cfg.model.navi_mode,
                         n_step_hist=cfg.n_step_hist, training=True)
     mp_tokens = model.apply({"params": params}, pp.mp_valid, pp.mp_attr, pp.mp_pose, pp.mp_type,
@@ -41,6 +42,8 @@ def _run_rollout(cfg, batch, model, params, check_level=0, deterministic_action=
     tl_forcing0 = jnp.ones(pp.gt_tl_state.shape[:3], bool)
     ag_forcing, tl_forcing = build_forcing_masks(
         cfg.teacher_forcing_training, pp.gt_valid, tl_forcing0, 0, jax.random.PRNGKey(2))
+    if zero_forcing:
+        ag_forcing = jnp.zeros_like(ag_forcing)
     buf = rollout_lib.rollout(
         model, params, cfg, mp_tokens, tl_tokens,
         ag_attr=pp.ag_attr, ag_type=pp.ag_type, ag_size=pp.ag_size,
@@ -52,6 +55,7 @@ def _run_rollout(cfg, batch, model, params, check_level=0, deterministic_action=
         ag_forcing=ag_forcing, tl_forcing=tl_forcing,
         rule_statics=statics, rule_state0=state0, check_level=check_level,
         key=jax.random.PRNGKey(3), deterministic_action=deterministic_action, train=False,
+        **extra,
     )
     return pp, buf, ag_forcing
 
@@ -94,6 +98,59 @@ def test_rollout_teacher_forcing_reconstruction(setup):
     gt = np.asarray(pp.gt_valid[:, :, 1:cfg.time_step_end + 1])
     forced = np.asarray(buf.mask_teacher_forcing)
     assert (forced | ~gt).all()
+
+
+def test_error_reset_same_step_frame(setup):
+    """The error-threshold reset compares the PREVIOUS post-override state with
+    GT at the SAME step (reference computes it pre-forward: teacher_forcing.py:131-145
+    fed with pre-update dynamics state at waymo_motion.py:234-236), and never
+    fires beyond the GT horizon (the reference zeroes the whole override at
+    step >= T, teacher_forcing.py:128). Regression for the one-step frame
+    mismatch that inflated the error by spd*dt and reset every fast agent."""
+    import dataclasses
+
+    cfg, _, model, params = setup
+    v, dt = 10.0, 0.1
+    batch = make_batch(cfg.data, n_sc=1, seed=5)
+    n_sc, n_ag, n_step = batch["agent/valid"].shape
+    # constant-velocity straight-line GT that the midpoint integrator
+    # reproduces exactly under zero (acc, yaw_rate) actions
+    batch["agent/valid"] = np.ones((n_sc, n_ag, n_step), bool)
+    pos = np.zeros((n_sc, n_ag, n_step, 3), np.float32)
+    pos[..., 0] = v * dt * np.arange(n_step, dtype=np.float32)[None, None, :]
+    pos[..., 1] = np.arange(n_ag, dtype=np.float32)[None, :, None] * 10.0
+    batch["agent/pos"] = pos
+    vel = np.zeros((n_sc, n_ag, n_step, 2), np.float32)
+    vel[..., 0] = v
+    batch["agent/vel"] = vel
+    batch["agent/spd"] = np.full((n_sc, n_ag, n_step, 1), v, np.float32)
+    for k in ("agent/acc", "agent/yaw_bbox", "agent/yaw_rate"):
+        batch[k] = np.zeros((n_sc, n_ag, n_step, 1), np.float32)
+    batch = {k: jnp.asarray(np.asarray(x)) for k, x in batch.items()}
+
+    # threshold below the spd*dt = 1.0 m the off-by-one frame would report
+    tf_cfg = dataclasses.replace(cfg.teacher_forcing_training, threshold_xy=0.5 * v * dt)
+    n_roll = n_step + 3  # roll past the GT horizon
+    player_valid = jnp.ones((n_sc, n_ag, n_roll), bool)
+    player_action = jnp.zeros((n_sc, n_ag, n_roll, 2), jnp.float32)
+
+    _, buf, _ = _run_rollout(
+        cfg, batch, model, params, zero_forcing=True, tf_cfg=tf_cfg, step_end=n_roll,
+        player_valid=player_valid, player_action=player_action,
+    )
+    forced = np.asarray(buf.mask_teacher_forcing)
+    assert forced.sum() == 0, "agents tracking GT exactly must never be error-reset"
+
+    # a deviating player (constant yaw rate curves away from the straight GT)
+    # triggers resets inside the GT horizon but never beyond it
+    player_turn = player_action.at[..., 1].set(0.3)
+    _, buf2, _ = _run_rollout(
+        cfg, batch, model, params, zero_forcing=True, tf_cfg=tf_cfg, step_end=n_roll,
+        player_valid=player_valid, player_action=player_turn,
+    )
+    forced2 = np.asarray(buf2.mask_teacher_forcing)  # index i <-> step i+1
+    assert forced2[:, :, : n_step - 1].sum() > 0
+    assert forced2[:, :, n_step - 1:].sum() == 0, "no reset at/past the GT horizon"
 
 
 @pytest.mark.slow

@@ -35,9 +35,9 @@ def test_histogram_likelihood_prefers_matching():
     log_match = np.full((n_ag, n_step), 5.0, np.float32)
     log_miss = np.full((n_ag, n_step), 9.0, np.float32)
     lv = np.ones((n_ag, n_step), bool)
-    ll_match = histogram_log_likelihood(jnp.asarray(sim), jnp.asarray(log_match), jnp.asarray(sim_valid), jnp.asarray(lv), cfg)
-    ll_miss = histogram_log_likelihood(jnp.asarray(sim), jnp.asarray(log_miss), jnp.asarray(sim_valid), jnp.asarray(lv), cfg)
-    assert float(ll_match[0]) > float(ll_miss[0]) + 2.0
+    s_match, c_match = histogram_log_likelihood(jnp.asarray(sim), jnp.asarray(log_match), jnp.asarray(sim_valid), jnp.asarray(lv), cfg)
+    s_miss, c_miss = histogram_log_likelihood(jnp.asarray(sim), jnp.asarray(log_miss), jnp.asarray(sim_valid), jnp.asarray(lv), cfg)
+    assert float(s_match[0] / c_match[0]) > float(s_miss[0] / c_miss[0]) + 2.0
 
 
 def test_bernoulli_likelihood():
@@ -100,8 +100,9 @@ def test_histogram_golden_hand_computed():
     # counts: bin0=2, bin1=3, bin2=1, bin3=0; total=6; smoothed p = (c+.5)/(6+2)
     p = (np.array([2, 3, 1, 0]) + 0.5) / 8.0
     expected = (np.log(p[1]) + np.log(p[3]) + np.log(p[0])) / 3.0
-    got = float(histogram_log_likelihood(sim, logged, v, lv, cfg)[0])
-    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    ll_sum, ll_cnt = histogram_log_likelihood(sim, logged, v, lv, cfg)
+    assert int(ll_cnt[0]) == 3
+    np.testing.assert_allclose(float(ll_sum[0] / ll_cnt[0]), expected, rtol=1e-6)
 
 
 def test_bernoulli_golden_hand_computed():
@@ -113,6 +114,46 @@ def test_bernoulli_golden_hand_computed():
     got_false = float(bernoulli_log_likelihood(sim_flag, jnp.asarray([False]), 0.001)[0])
     np.testing.assert_allclose(got_true, np.log(p), rtol=1e-6)
     np.testing.assert_allclose(got_false, np.log(1 - p), rtol=1e-6)
+
+
+def test_flat_sample_mean_pooling():
+    """Likelihood pooling is the official FLAT mean over valid agent-step
+    samples (`_reduce_average_with_validity`), not a per-agent equal-weight
+    average: an agent valid for 1 step contributes 1 sample."""
+    from trafficbotsv15_tpu.eval.wosac_likelihood import _avg_exp_flat
+
+    a, b = -0.1, -5.0
+    ll_sum = jnp.asarray([9 * a, 1 * b])
+    cnt = jnp.asarray([9, 1])
+    got = float(_avg_exp_flat(ll_sum, cnt, jnp.asarray([True, True])))
+    np.testing.assert_allclose(got, np.exp((9 * a + b) / 10.0), rtol=1e-6)
+    assert not np.isclose(got, np.exp((a + b) / 2.0))
+
+
+def test_validity_gap_does_not_corrupt_kinematics():
+    """A mid-track invalid GT step (zero-padded pose) must not leak garbage
+    speeds/accelerations into the logged likelihoods: diff-feature validity
+    requires every contributing step valid, not just the trailing one."""
+    K, n_ag, n_step = 8, 2, 20
+    base = np.zeros((n_ag, n_step, 3), np.float32)
+    base[:, :, 0] = np.arange(n_step, dtype=np.float32) * 0.5  # 5 m/s
+    base[0, :, 1], base[1, :, 1] = 0.0, 30.0
+    sim = np.repeat(base[None], K, 0)
+    logged = base.copy()
+    lv = np.ones((n_ag, n_step), bool)
+    # invalidate one mid step; packed pose of an invalid step is zeros
+    logged[:, 10] = 0.0
+    lv[:, 10] = False
+    ag_size = np.tile(np.array([[4.0, 2.0, 1.5]], np.float32), (n_ag, 1))
+    out = compute_scenario_likelihoods(
+        jnp.asarray(sim), jnp.ones(n_ag, bool), jnp.asarray(logged), jnp.asarray(lv),
+        jnp.asarray(ag_size),
+    )
+    # pre-fix: |pos - 0|/dt garbage (~50-80 m/s) scored in near-empty bins
+    # cratered these to ~exp(-12-weighted) values
+    for f in ("linear_speed_likelihood", "linear_acceleration_likelihood",
+              "angular_speed_likelihood", "angular_acceleration_likelihood"):
+        assert float(out[f]) > 0.5, (f, float(out[f]))
 
 
 def test_challenge_2024_config_consistency():

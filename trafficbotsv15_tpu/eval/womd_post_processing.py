@@ -89,7 +89,11 @@ def traj_aggr_np(
     trajs: np.ndarray, scores: np.ndarray, k_pred: int, thresh, n_iter_em: int, use_ade: bool
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side k-means EM aggregation with empty-cluster splitting
-    (womd_post_processing.py:178-278)."""
+    (womd_post_processing.py:178-278).
+
+    thresh[0] (scalar) intentionally: the reference's traj_aggr signature is
+    `thresh: float` and never consults ag_type — unlike mtr/mpa NMS, the
+    aggregation threshold is not per-agent-type."""
     n_sc, n_ag, n_k = scores.shape
     xy = trajs[..., :2]
     if use_ade:
@@ -146,10 +150,22 @@ def womd_post_process(
 
     if trajs.shape[2] > cfg.k_pred:
         if len(cfg.aggr_thresh) > 0:
-            trajs_np, scores_np = traj_aggr_np(
-                np.asarray(trajs), np.asarray(scores), cfg.k_pred, cfg.aggr_thresh, cfg.n_iter_em, cfg.use_ade
+            # host-side EM via pure_callback: every caller of womd_post_process
+            # runs under jax.jit (runner.py step functions), so np.asarray on
+            # the traced arrays would fail at trace time. Output shapes are
+            # static (k_pred modes), so the callback is jit-compatible.
+            def _aggr_host(t, s):
+                tk, sk = traj_aggr_np(
+                    np.asarray(t), np.asarray(s), cfg.k_pred, cfg.aggr_thresh,
+                    cfg.n_iter_em, cfg.use_ade,
+                )
+                return tk.astype(t.dtype), sk.astype(s.dtype)
+
+            out_shape = (
+                jax.ShapeDtypeStruct(trajs.shape[:2] + (cfg.k_pred,) + trajs.shape[3:], trajs.dtype),
+                jax.ShapeDtypeStruct(scores.shape[:2] + (cfg.k_pred,), scores.dtype),
             )
-            trajs, scores = jnp.asarray(trajs_np), jnp.asarray(scores_np)
+            trajs, scores = jax.pure_callback(_aggr_host, out_shape, trajs, scores)
         elif len(cfg.mtr_nms_thresh) > 0:
             trajs, scores = mtr_nms(trajs, scores, cfg.k_pred, cfg.mtr_nms_thresh, cfg.use_ade, ag_type)
         else:

@@ -26,7 +26,7 @@ eval.wosac_metrics.WOSACMetrics for official leaderboard numbers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -160,15 +160,18 @@ def distance_to_road_edge(pose, road_edge, road_edge_valid) -> jnp.ndarray:
 
 # ------------------------------------------------------------- likelihoods
 def histogram_log_likelihood(sim: jnp.ndarray, logged: jnp.ndarray, sim_valid, logged_valid,
-                             cfg: HistogramCfg) -> jnp.ndarray:
-    """Per-agent mean log-likelihood of logged values under the sim histogram.
+                             cfg: HistogramCfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-agent (sum, count) of logged log-likelihoods under the sim histogram.
 
     sim: [K, n_ag, n_step], logged: [n_ag, n_step]; valid masks alike.
     Histogram pooled over rollouts and steps per agent (independent timesteps).
+    Returns sums/counts rather than per-agent means so callers can take the
+    official estimator's FLAT mean over all valid agent-step samples
+    (sim_agents_metrics `_reduce_average_with_validity`), not a per-agent
+    equal-weight average.
     """
     edges_scale = cfg.num_bins / (cfg.val_max - cfg.val_min)
     sim_bin = jnp.clip(((sim - cfg.val_min) * edges_scale).astype(jnp.int32), 0, cfg.num_bins - 1)
-    counts = jnp.zeros(sim.shape[1:2] + (cfg.num_bins,))
     onehot = jax.nn.one_hot(sim_bin, cfg.num_bins) * sim_valid[..., None]
     counts = jnp.sum(onehot, axis=(0, 2))  # [n_ag, bins]
     probs = (counts + cfg.additive_smoothing) / (
@@ -177,8 +180,7 @@ def histogram_log_likelihood(sim: jnp.ndarray, logged: jnp.ndarray, sim_valid, l
     log_bin = jnp.log(probs)
     logged_bin = jnp.clip(((logged - cfg.val_min) * edges_scale).astype(jnp.int32), 0, cfg.num_bins - 1)
     ll = jnp.take_along_axis(log_bin, logged_bin, axis=-1)  # [n_ag, n_step]
-    cnt = jnp.maximum(jnp.sum(logged_valid, -1), 1)
-    return jnp.sum(jnp.where(logged_valid, ll, 0.0), -1) / cnt  # [n_ag]
+    return jnp.sum(jnp.where(logged_valid, ll, 0.0), -1), jnp.sum(logged_valid, -1)  # [n_ag] x2
 
 
 def bernoulli_log_likelihood(sim_flag: jnp.ndarray, logged_flag: jnp.ndarray,
@@ -193,14 +195,22 @@ def bernoulli_log_likelihood(sim_flag: jnp.ndarray, logged_flag: jnp.ndarray,
 
 
 def aggregate_metametric(likelihoods: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-    """Weighted buckets + realism metametric (wosac.py:79-97 aggregation)."""
+    """Weighted buckets + realism metametric (wosac.py:79-97 aggregation).
+
+    Weights renormalize over the fields actually present (road-edge/offroad
+    fields are optional when no map is supplied), so a missing optional field
+    degrades gracefully instead of deflating the metametric/bucket scores.
+    With all 9 fields present this equals the official fixed weighting."""
     out = dict(likelihoods)
-    total_w = sum(FIELD_WEIGHTS.values())
+    total_w = sum(FIELD_WEIGHTS[k] for k in FIELD_WEIGHTS if k in likelihoods)
     meta = sum(FIELD_WEIGHTS[k] * likelihoods[k] for k in FIELD_WEIGHTS if k in likelihoods)
     out["metametric"] = meta / total_w
     for bucket, fields in BUCKETS.items():
-        w = sum(FIELD_WEIGHTS[f] for f in fields)
-        out[bucket] = sum(FIELD_WEIGHTS[f] * likelihoods[f] for f in fields if f in likelihoods) / w
+        present = [f for f in fields if f in likelihoods]
+        if not present:
+            continue
+        w = sum(FIELD_WEIGHTS[f] for f in present)
+        out[bucket] = sum(FIELD_WEIGHTS[f] * likelihoods[f] for f in present) / w
     return out
 
 
@@ -224,17 +234,25 @@ def compute_scenario_likelihoods(
     ls_s, la_s, as_s, aa_s = kinematic_features(sim_trajs, dt)
     ls_l, la_l, as_l, aa_l = kinematic_features(logged_trajs, dt)
 
+    # diff-feature validity requires EVERY contributing step valid: at a GT
+    # validity rising edge the packed pose of the invalid step is zeros, so a
+    # trailing-step-only mask would score |pos[t] - 0|/dt garbage speeds
+    # against the sim histogram. speed[i] uses steps i,i+1; acc[i] additionally
+    # uses step i+2.
+    v1 = v_step[..., :-1] & v_step[..., 1:]  # [n_ag, n_step-1]
+    v2 = v1[..., :-1] & v1[..., 1:]  # [n_ag, n_step-2]
+    v1_sim = v_step_sim[..., :-1] & v_step_sim[..., 1:]
+    v2_sim = v1_sim[..., :-1] & v1_sim[..., 1:]
+
     fields = {}
-    for name, sim_f, log_f, k_off in (
-        ("linear_speed", ls_s, ls_l, 1),
-        ("linear_acceleration", la_s, la_l, 2),
-        ("angular_speed", as_s, as_l, 1),
-        ("angular_acceleration", aa_s, aa_l, 2),
+    for name, sim_f, log_f, sv, lv in (
+        ("linear_speed", ls_s, ls_l, v1_sim, v1),
+        ("linear_acceleration", la_s, la_l, v2_sim, v2),
+        ("angular_speed", as_s, as_l, v1_sim, v1),
+        ("angular_acceleration", aa_s, aa_l, v2_sim, v2),
     ):
-        ll = histogram_log_likelihood(
-            sim_f, log_f, v_step_sim[..., k_off:], v_step[..., k_off:], FEATURE_CONFIG[name]
-        )
-        fields[f"{name}_likelihood"] = _avg_exp(ll, sim_valid)
+        ll_sum, ll_cnt = histogram_log_likelihood(sim_f, log_f, sv, lv, FEATURE_CONFIG[name])
+        fields[f"{name}_likelihood"] = _avg_exp_flat(ll_sum, ll_cnt, sim_valid)
 
     # distance to nearest object per step: steps vmapped (SoA planes tile the
     # vector registers), rollouts mapped sequentially (lax.map) to bound the
@@ -249,10 +267,10 @@ def compute_scenario_likelihoods(
         jnp.swapaxes(logged_trajs, 0, 1), jnp.swapaxes(logged_valid, 0, 1))
     log_dist = jnp.swapaxes(log_dist, 0, 1)
     cfgd = FEATURE_CONFIG["distance_to_nearest_object"]
-    ll = histogram_log_likelihood(jnp.clip(sim_dist, cfgd.val_min, cfgd.val_max),
-                                  jnp.clip(log_dist, cfgd.val_min, cfgd.val_max),
-                                  v_step_sim, v_step, cfgd)
-    fields["distance_to_nearest_object_likelihood"] = _avg_exp(ll, sim_valid)
+    ll_sum, ll_cnt = histogram_log_likelihood(jnp.clip(sim_dist, cfgd.val_min, cfgd.val_max),
+                                              jnp.clip(log_dist, cfgd.val_min, cfgd.val_max),
+                                              v_step_sim, v_step, cfgd)
+    fields["distance_to_nearest_object_likelihood"] = _avg_exp_flat(ll_sum, ll_cnt, sim_valid)
 
     # collision indication: any step with negative distance
     sim_col = jnp.any((sim_dist < 0) & v_step_sim, axis=-1)
@@ -267,16 +285,20 @@ def compute_scenario_likelihoods(
     def per_step_ttc(pose_t, spd_t, valid_t):
         return time_to_collision(pose_t[None], spd_t[None], ag_size[None], valid_t[None])[0]
 
-    sim_spd = jnp.concatenate([ls_s[..., :1], ls_s], axis=-1)
-    log_spd = jnp.concatenate([ls_l[..., :1], ls_l], axis=-1)
+    # speed at step t = speed over (t-1, t); zero where either step is invalid
+    # so rising-edge garbage does not drive the closing-speed TTC test
+    sim_spd = jnp.concatenate([ls_s[..., :1], jnp.where(v1_sim, ls_s, 0.0)], axis=-1)
+    log_spd = jnp.concatenate(
+        [jnp.where(v1[..., :1], ls_l[..., :1], 0.0), jnp.where(v1, ls_l, 0.0)], axis=-1)
     sim_ttc = jax.vmap(lambda tr, sp: jax.vmap(per_step_ttc, in_axes=(0, 0, None))(
         jnp.swapaxes(tr, 0, 1), jnp.swapaxes(sp, 0, 1), sim_valid))(sim_trajs, sim_spd)
     sim_ttc = jnp.swapaxes(sim_ttc, 1, 2)
     log_ttc = jnp.swapaxes(jax.vmap(per_step_ttc, in_axes=(0, 0, 0))(
         jnp.swapaxes(logged_trajs, 0, 1), jnp.swapaxes(log_spd, 0, 1),
         jnp.swapaxes(logged_valid, 0, 1)), 0, 1)
-    ll = histogram_log_likelihood(sim_ttc, log_ttc, v_step_sim, v_step, FEATURE_CONFIG["time_to_collision"])
-    fields["time_to_collision_likelihood"] = _avg_exp(ll, sim_valid)
+    ll_sum, ll_cnt = histogram_log_likelihood(
+        sim_ttc, log_ttc, v_step_sim, v_step, FEATURE_CONFIG["time_to_collision"])
+    fields["time_to_collision_likelihood"] = _avg_exp_flat(ll_sum, ll_cnt, sim_valid)
 
     if road_edge is not None:
         def edge_dist(tr):  # [n_ag, n_step, 3] -> [n_ag, n_step]
@@ -287,8 +309,8 @@ def compute_scenario_likelihoods(
         cfge = FEATURE_CONFIG["distance_to_road_edge"]
         sim_red = jnp.clip(jax.lax.map(edge_dist, sim_trajs), cfge.val_min, cfge.val_max)
         log_red = jnp.clip(edge_dist(logged_trajs), cfge.val_min, cfge.val_max)
-        ll = histogram_log_likelihood(sim_red, log_red, v_step_sim, v_step, cfge)
-        fields["distance_to_road_edge_likelihood"] = _avg_exp(ll, sim_valid)
+        ll_sum, ll_cnt = histogram_log_likelihood(sim_red, log_red, v_step_sim, v_step, cfge)
+        fields["distance_to_road_edge_likelihood"] = _avg_exp_flat(ll_sum, ll_cnt, sim_valid)
     if sim_offroad is not None and logged_offroad is not None:
         fields["offroad_indication_likelihood"] = _avg_exp(
             bernoulli_log_likelihood(
@@ -301,9 +323,21 @@ def compute_scenario_likelihoods(
 
 
 def _avg_exp(per_agent_ll: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """exp(mean loglik) over valid agents -> scalar likelihood in (0, 1]."""
+    """exp(mean loglik) over valid agents -> scalar likelihood in (0, 1].
+
+    For one-sample-per-agent fields (the Bernoulli indications) this IS the
+    official flat sample mean; histogram fields use _avg_exp_flat."""
     n = jnp.maximum(jnp.sum(valid), 1)
     return jnp.exp(jnp.sum(jnp.where(valid, per_agent_ll, 0.0)) / n)
+
+
+def _avg_exp_flat(ll_sum: jnp.ndarray, ll_cnt: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """exp of the FLAT mean log-likelihood over all valid agent-step samples
+    (the official `_reduce_average_with_validity` pooling — an agent valid for
+    1 step contributes 1 sample, not a full agent's weight)."""
+    s = jnp.sum(jnp.where(valid, ll_sum, 0.0))
+    n = jnp.maximum(jnp.sum(jnp.where(valid, ll_cnt, 0)), 1)
+    return jnp.exp(s / n)
 
 
 def realism_from_rollout(
@@ -366,18 +400,19 @@ def realism_from_rollout(
             sim_offroad=so, logged_offroad=lo,
         )
         # WOSAC's displacement errors (FIELD_NAMES average/min_average_
-        # displacement_error): per-agent ADE over valid steps, mean/min over K
+        # displacement_error): per-agent ADE over valid steps; ADE = mean over
+        # K of the agent-averaged per-rollout ADE, minADE = MIN over K of the
+        # agent-averaged ADE (tf.reduce_min(tf.reduce_mean(ade, axis=objects)))
+        # — NOT a per-agent min, which would cherry-pick the best rollout per
+        # agent and report an unachievable composite.
         mask = sv[None, :, None] & lv[None]
         dist = jnp.where(mask, jnp.linalg.norm(s[..., :2] - l[None, ..., :2], axis=-1), 0.0)
         ade_k = jnp.sum(dist, -1) / jnp.maximum(jnp.sum(mask, -1), 1)  # [K, n_ag]
         ag_mask = sv & jnp.any(lv, -1)
         n_ag_v = jnp.maximum(jnp.sum(ag_mask), 1)
-        fields["average_displacement_error"] = jnp.sum(jnp.where(ag_mask[None], ade_k, 0.0)) / (
-            n_ag_v * ade_k.shape[0]
-        )
-        fields["min_average_displacement_error"] = jnp.sum(
-            jnp.where(ag_mask, jnp.min(jnp.where(ag_mask[None], ade_k, jnp.inf), 0), 0.0)
-        ) / n_ag_v
+        ade_scen = jnp.sum(jnp.where(ag_mask[None], ade_k, 0.0), axis=1) / n_ag_v  # [K]
+        fields["average_displacement_error"] = jnp.mean(ade_scen)
+        fields["min_average_displacement_error"] = jnp.min(ade_scen)
         return fields
 
     return jax.lax.map(one_scenario, (

@@ -299,10 +299,21 @@ def rollout(
 
         pred_valid, pred_pose, pred_motion = c.valid, new_pose, new_motion
 
-        # teacher forcing override (+ optional error-threshold reset)
-        force = x["tf_valid"] | error_reset_mask(
-            tf_cfg, pred_valid, jax.lax.stop_gradient(pred_pose), jax.lax.stop_gradient(pred_motion),
-            x["gt_valid_prev"], x["gt_pose_prev"], x["gt_motion_prev"],
+        # teacher forcing override (+ optional error-threshold reset). The
+        # reference computes the reset BEFORE the model forward: the error is
+        # the PREVIOUS post-override state (carry, step t-1) vs GT at t-1 —
+        # same-step frames (teacher_forcing.py:131-145, get() is called with
+        # dynamics state pre-update at waymo_motion.py:234-236). Comparing the
+        # freshly integrated pose at t against GT at t-1 would inflate the
+        # error by speed*dt and reset every fast agent. gt_avail gates the
+        # reset off beyond the GT horizon, where the reference zeroes the whole
+        # override (teacher_forcing.py:128) and tf_pose here is zero padding.
+        force = x["tf_valid"] | (
+            error_reset_mask(
+                tf_cfg, c.valid, jax.lax.stop_gradient(c.pose), jax.lax.stop_gradient(c.motion),
+                x["gt_valid_prev"], x["gt_pose_prev"], x["gt_motion_prev"],
+            )
+            & x["gt_avail"]
         )
         ov_valid, ov_pose, ov_motion = dyn.override_ag(
             pred_valid, pred_pose, pred_motion, c.disabled, force, x["tf_pose"], x["tf_motion"]
