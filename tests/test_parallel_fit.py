@@ -56,6 +56,12 @@ def test_hybrid_slice_mesh_ordering():
     x = jax.device_put(jnp.ones((8, 4)), replicated(mesh))
     assert float(jnp.sum(x)) == 32.0
 
-    # uneven slices truncate to the common per-slice count
-    order2, n_data2 = order_devices_for_slices(devs, [0, 0, 0, 1, 1, 2, 2, 2], n_model=1)
+    # uneven slices truncate to the common per-slice count — loudly
+    with pytest.warns(UserWarning, match="dropping 2 of 8"):
+        order2, n_data2 = order_devices_for_slices(devs, [0, 0, 0, 1, 1, 2, 2, 2], n_model=1)
     assert n_data2 == 6 and len(order2) == 6
+
+    # a slice smaller than the model axis cannot host it: clear error, not a
+    # zero-device mesh (4- and 2-device slices, n_model=4 -> per would be 0)
+    with pytest.raises(ValueError, match="n_model=4"):
+        order_devices_for_slices(devs[:6], [0, 0, 0, 0, 1, 1], n_model=4)

@@ -236,7 +236,11 @@ def test_fit_sigterm_graceful_checkpoint(tmp_path):
     killer = threading.Thread(target=_kill_once_handler_installed, daemon=True)
     killer.start()
     try:
-        run_mod.main(common)  # no max_steps: only the signal stops it
+        # no max_steps: only the signal stops it. A signal-initiated stop is
+        # not a clean finish — main exits 143 so restart wrappers relaunch
+        with pytest.raises(SystemExit) as exc_info:
+            run_mod.main(common)
+        assert exc_info.value.code == 143
     finally:
         done.set()
     state1, _, meta1 = CheckpointManager(ckpt_dir).restore("last")

@@ -160,6 +160,7 @@ def test_submission(
         if step_fn is None:
             n_full = n_real
             mesh = _eval_mesh(n_full, mesh)
+            _check_post_cfg_shardable(cfg, mesh)
             b_sh, repl = batch_sharding(mesh), replicated(mesh)
             params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
             step_fn = jax.jit(step, in_shardings=(repl, b_sh, repl), out_shardings=repl)
@@ -265,6 +266,19 @@ def save_validation_videos(cfg, batch, buf, out_dir: str = "videos", n_vis: int 
     return paths
 
 
+def _check_post_cfg_shardable(cfg, mesh):
+    """The EM aggregation mode (womd_post.aggr_thresh) runs host-side through
+    jax.pure_callback inside the jitted eval step; with the batch sharded over
+    several devices the callback sees per-shard operands (or, multi-host, a
+    non-addressable global array) — fail fast with the fix instead."""
+    if mesh.devices.size > 1 and len(cfg.womd_post.aggr_thresh) > 0:
+        raise ValueError(
+            "womd_post.aggr_thresh (host-side EM aggregation) is single-device "
+            "only — use mtr_nms_thresh/mpa_nms_thresh for sharded eval, or pass "
+            "a single-device mesh"
+        )
+
+
 def _eval_mesh(n_sc: int, mesh=None):
     """Largest data mesh whose size divides the eval batch (the reference
     validates under DDP with fixed per-rank batches, waymo_motion.py:616-626;
@@ -332,6 +346,7 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         b = {k: jnp.asarray(np.asarray(v)) for k, v in batch.items() if not isinstance(v, list)}
         if step_fn is None:
             mesh = _eval_mesh(next(iter(b.values())).shape[0], mesh)
+            _check_post_cfg_shardable(cfg, mesh)
             b_sh, repl = batch_sharding(mesh), replicated(mesh)
             params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
             step_fn = jax.jit(step_raw, in_shardings=(repl, b_sh, repl), out_shardings=repl)

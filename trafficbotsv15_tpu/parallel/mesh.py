@@ -62,6 +62,22 @@ def order_devices_for_slices(devices: Sequence, slice_ids: Sequence[int], n_mode
         groups.setdefault(s, []).append(d)
     per = min(len(g) for g in groups.values())
     per -= per % max(n_model, 1)
+    if per == 0:
+        raise ValueError(
+            f"no usable devices: smallest slice has {min(len(g) for g in groups.values())} "
+            f"device(s), fewer than n_model={n_model} — shrink the model axis or "
+            f"exclude the undersized slice ({ {s: len(g) for s, g in groups.items()} })"
+        )
+    dropped = len(devices) - per * len(groups)
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"uneven slices: truncating every slice to {per} devices, dropping "
+            f"{dropped} of {len(devices)} ({ {s: len(g) for s, g in groups.items()} }) "
+            "— the job will train on less hardware than provisioned",
+            stacklevel=2,
+        )
     order = [d for s in sorted(groups) for d in groups[s][:per]]
     return order, len(groups) * (per // max(n_model, 1))
 

@@ -266,6 +266,7 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         prev_handlers = {}  # not in the main thread (e.g. threaded tests)
 
     start_epoch = min(start_step // steps_per_epoch, max(cfg.max_epochs - 1, 0))
+    last_saved_step = -1
     try:
         for epoch in range(start_epoch, cfg.max_epochs):
             if hasattr(train_loader, "set_epoch"):
@@ -306,12 +307,18 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
                     logger.log(step, m)
                 if cfg.ckpt_every_steps and step % cfg.ckpt_every_steps == 0:
                     ckpt.save_last(snapshot(), cfg, {"step": step, "epoch": epoch})
+                    last_saved_step = step
                 if stop_signal:
                     break
                 if max_steps and step >= max_steps:
                     break
             state = snapshot()
-            ckpt.save_last(state, cfg, {"step": step, "epoch": epoch})
+            # skip the epoch-end save when an in-loop ckpt_every_steps save
+            # already wrote this exact step — the async manager would block on
+            # the in-flight write just to redo an identical multi-GB checkpoint
+            if step != last_saved_step:
+                ckpt.save_last(state, cfg, {"step": step, "epoch": epoch})
+                last_saved_step = step
             if stop_signal:
                 break
             if validate_every_epoch:
@@ -323,11 +330,16 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
                 break
     finally:
         # always restore handlers and flush the async save, even if a
-        # step raises — leaked handlers would outlive fit() in-process
-        ckpt.wait()
-        for sig, h in prev_handlers.items():
-            signal.signal(sig, h)
-    return params, logger
+        # step raises — leaked handlers would outlive fit() in-process.
+        # Handler restore gets its own finally: if wait() re-raises a failed
+        # async finalize, a leaked _request_stop would silently swallow every
+        # later SIGTERM (its stop list is orphaned once fit returns).
+        try:
+            ckpt.wait()
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+    return params, logger, bool(stop_signal)
 
 
 def main(argv=None):
@@ -379,8 +391,13 @@ def main(argv=None):
     train_loader, val_loader = make_dataloaders(cfg, data, data_dir,
                                                 test_mode=action == "test")
     if action == "fit":
-        fit(cfg, train_loader, val_loader, ckpt_dir=ckpt_dir, max_steps=max_steps,
-            log_every=log_every, profile_dir=profile_dir, resume=resume)
+        *_, stopped = fit(cfg, train_loader, val_loader, ckpt_dir=ckpt_dir, max_steps=max_steps,
+                          log_every=log_every, profile_dir=profile_dir, resume=resume)
+        if stopped:
+            # signal-initiated stop is NOT a clean finish: exit 128+SIGTERM so
+            # restart wrappers (launch/train_preemptible.sh) relaunch with
+            # resume=true instead of reporting "finished cleanly" mid-training
+            raise SystemExit(143)
     elif action == "validate":
         from trafficbotsv15_tpu.eval.runner import validate
 
