@@ -4,7 +4,11 @@
 # On TPU VMs there is no SLURM srun: one process per host, GSPMD handles the
 # rest. For multi-host slices run this same script on every worker
 # (e.g. `gcloud compute tpus tpu-vm ssh ... --worker=all --command=...`);
-# jax.distributed initializes from the TPU environment automatically.
+# jax.distributed initializes from the TPU environment automatically, each
+# host loads a disjoint dataset shard (DistributedSampler semantics — so
+# DATA_DIR can be a per-host local-SSD copy of the SAME packed dataset), and
+# rank 0 alone finalizes checkpoints/submissions (CKPT_DIR must be shared
+# storage on multi-host jobs).
 set -euo pipefail
 
 DATA_DIR=${DATA_DIR:?set DATA_DIR to the packed h5/tbcache directory}

@@ -162,7 +162,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, seed: int = 0, drop_last: bool = False,
-                 prefetch: int = 4):
+                 prefetch: int = 4, shard_index: int = 0, num_shards: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -171,9 +171,18 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        # multi-host sharding (torch DistributedSampler semantics): every host
+        # draws the SAME epoch permutation (seed+epoch), takes a disjoint
+        # stride slice of it, and pads by wrapping so all hosts run the same
+        # number of batches (hosts must stay in lockstep for the collectives)
+        assert 0 <= shard_index < num_shards
+        self.shard_index, self.num_shards = shard_index, num_shards
+
+    def _shard_len(self) -> int:
+        return -(-len(self.ds) // self.num_shards)
 
     def __len__(self) -> int:
-        n = len(self.ds)
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int) -> None:
@@ -194,6 +203,11 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
         self.epoch += 1
+        if self.num_shards > 1:
+            pad = self._shard_len() * self.num_shards - len(idx)
+            if pad:  # wrap-pad so every shard has the same length
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[self.shard_index :: self.num_shards]
         batches = [idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()

@@ -188,16 +188,24 @@ class TBCacheLoader:
     """Batched loader over TBCacheDataset (drop-in for data.h5_dataset.DataLoader)."""
 
     def __init__(self, dataset: TBCacheDataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False, shard_index: int = 0,
+                 num_shards: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+        # multi-host sharding: same epoch permutation on every host, disjoint
+        # stride slices, wrap-padded to equal length (see h5_dataset.DataLoader)
+        assert 0 <= shard_index < num_shards
+        self.shard_index, self.num_shards = shard_index, num_shards
+
+    def _shard_len(self):
+        return -(-len(self.ds) // self.num_shards)
 
     def __len__(self):
-        n = len(self.ds)
+        n = self._shard_len()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def set_epoch(self, epoch: int):
@@ -215,6 +223,11 @@ class TBCacheLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
         self.epoch += 1
+        if self.num_shards > 1:
+            pad = self._shard_len() * self.num_shards - len(idx)
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[self.shard_index :: self.num_shards]
         for i in range(start_batch * self.batch_size, len(idx), self.batch_size):
             b = idx[i : i + self.batch_size]
             if self.drop_last and len(b) < self.batch_size:

@@ -210,6 +210,10 @@ def test_submission(
                                              cfg.time_step_gt, sids)
             sub_wosac.add(rollouts)
     if have_protos:
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # outputs are replicated, so every host holds the full submission;
+            # only rank 0 writes the shards (waymo_motion.py:616-626 idiom)
+            return None, None
         return sub_womd.save(out_dir), sub_wosac.save()
     return results
 

@@ -112,10 +112,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place one host array onto a (possibly multi-process) sharding.
+
+    Single-process: plain device_put. Multi-process: the host array is this
+    process's shard of the global batch (each host loads a DISJOINT dataset
+    shard, the reference's DistributedSampler semantics) and the global array
+    is assembled from the per-process pieces without any cross-host transfer
+    (`jax.make_array_from_process_local_data` maps the local rows onto the
+    process's addressable devices, whatever their mesh order)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict onto the mesh, scenario dim sharded."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), batch)
 
 
 def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**14):
@@ -185,13 +202,11 @@ def device_prefetch(iterator, sharding, depth: int = 2, skip_keys=("scenario_byt
     DataLoader, data_h5_womd.py:206-216)."""
     import collections
 
-    import numpy as np
-
     queue = collections.deque()
 
     def put(b):
         return {
-            k: jax.device_put(np.asarray(v), sharding)
+            k: put_global(v, sharding)
             for k, v in b.items()
             if k not in skip_keys and not isinstance(v, list)
         }

@@ -59,6 +59,13 @@ def apply_overrides(cfg: ExperimentCfg, overrides: Dict[str, Any]) -> Experiment
 
 def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_synthetic: int = 64,
                      test_mode: bool = False):
+    # each process loads only the rows its local devices will hold: per-host
+    # batch = batch_size x local devices, and on multi-host jobs the dataset is
+    # split into disjoint per-host shards (the reference's DistributedSampler,
+    # data_h5_womd.py:206-216); parallel.mesh.put_global assembles the global
+    # batch from the per-process pieces without cross-host transfer
+    n_dev = jax.local_device_count()
+    shard = dict(shard_index=jax.process_index(), num_shards=jax.process_count())
     if data == "synthetic":
         from trafficbotsv15_tpu.data.synthetic import make_batch
 
@@ -75,10 +82,12 @@ def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_s
 
             def iter_from(self, start_batch=0):
                 for i in range(start_batch, self.n_batches):
-                    yield make_batch(cfg.data, n_sc=self.n_sc, seed=self.seed0 + i,
+                    # disjoint per-host streams: stride the seed space by the
+                    # process grid (reduces to seed0+i single-process)
+                    seed = self.seed0 + i * shard["num_shards"] + shard["shard_index"]
+                    yield make_batch(cfg.data, n_sc=self.n_sc, seed=seed,
                                      test_mode=self.test_mode)
 
-        n_dev = len(jax.devices())
         bs_train = max(cfg.batch_size_train, 1) * n_dev
         bs_test = max(cfg.batch_size_test, 1) * n_dev
         return (
@@ -86,23 +95,23 @@ def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_s
             SynthLoader(max(n_synthetic // bs_test // 4, 1), bs_test, 10_000,
                         test_mode=test_mode),
         )
-    n_dev = len(jax.devices())
     if data == "tbcache":
         from trafficbotsv15_tpu.data.tbcache import TBCacheDataset, TBCacheLoader
 
         train_ds = TBCacheDataset(f"{data_dir}/training.tbcache")
         val_ds = TBCacheDataset(f"{data_dir}/validation.tbcache")
         return (
-            TBCacheLoader(train_ds, cfg.batch_size_train * n_dev, shuffle=True, seed=cfg.seed),
-            TBCacheLoader(val_ds, cfg.batch_size_test * n_dev, shuffle=False),
+            TBCacheLoader(train_ds, cfg.batch_size_train * n_dev, shuffle=True, seed=cfg.seed,
+                          **shard),
+            TBCacheLoader(val_ds, cfg.batch_size_test * n_dev, shuffle=False, **shard),
         )
     from trafficbotsv15_tpu.data.h5_dataset import DataLoader, H5Dataset, tensor_size_train, tensor_size_val
 
     train_ds = H5Dataset(f"{data_dir}/training.h5", tensor_size_train(cfg.data))
     val_ds = H5Dataset(f"{data_dir}/validation.h5", tensor_size_val(cfg.data), with_attrs=True)
     return (
-        DataLoader(train_ds, cfg.batch_size_train * n_dev, shuffle=True, seed=cfg.seed),
-        DataLoader(val_ds, cfg.batch_size_test * n_dev, shuffle=False),
+        DataLoader(train_ds, cfg.batch_size_train * n_dev, shuffle=True, seed=cfg.seed, **shard),
+        DataLoader(val_ds, cfg.batch_size_test * n_dev, shuffle=False, **shard),
     )
 
 

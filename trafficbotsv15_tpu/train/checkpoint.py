@@ -18,6 +18,22 @@ import orbax.checkpoint as ocp
 from trafficbotsv15_tpu.config import ExperimentCfg, config_from_dict, config_to_dict
 
 
+def _is_proc0() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def _barrier(tag: str) -> None:
+    """Cross-host sync point; no-op single-process (incl. this image)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 # Param renames across framework versions: round 2 replaced the kv Dense
 # submodule with explicit params (kv_proj/{kernel,bias} -> kv_w/kv_b) and the
 # per-layer target LayerNorm submodule with explicit scale/bias params
@@ -79,7 +95,12 @@ class CheckpointManager:
         """Complete an in-flight async save: wait for the background write,
         then atomically swap tmp -> final (keeping the previous checkpoint at
         <name>.old until the swap is through, so a crash at any point leaves
-        either the old or the new checkpoint restorable) and write the json."""
+        either the old or the new checkpoint restorable) and write the json.
+
+        Multi-host: orbax save() is a collective (every process writes its
+        addressable shards into tmp); the swap + json are filesystem-level and
+        run on process 0 only, fenced by barriers so no process finalizes
+        before all shards are durable or restores before the swap is visible."""
         if self._pending is None:
             return
         import shutil
@@ -87,18 +108,21 @@ class CheckpointManager:
         name, tmp, payload = self._pending
         self._pending = None
         self._ckptr.wait_until_finished()
-        final, old = self.dir / name, self.dir / f"{name}.old"
-        if final.exists():
-            # drop any older .old only when final is here to replace it — after
-            # a crash that left just .old, it stays restorable until the new
-            # checkpoint is fully in place
+        _barrier(f"ckpt_written_{name}")
+        if _is_proc0():
+            final, old = self.dir / name, self.dir / f"{name}.old"
+            if final.exists():
+                # drop any older .old only when final is here to replace it —
+                # after a crash that left just .old, it stays restorable until
+                # the new checkpoint is fully in place
+                if old.exists():
+                    shutil.rmtree(old)
+                final.rename(old)
+            tmp.rename(final)
+            (self.dir / f"{name}.json").write_text(payload)
             if old.exists():
                 shutil.rmtree(old)
-            final.rename(old)
-        tmp.rename(final)
-        (self.dir / f"{name}.json").write_text(payload)
-        if old.exists():
-            shutil.rmtree(old)
+        _barrier(f"ckpt_swapped_{name}")
 
     def wait(self):
         """Block until any in-flight async save is durable. Call before the
@@ -112,8 +136,9 @@ class CheckpointManager:
         import shutil
 
         tmp = self.dir / f"{name}.tmp"
-        if tmp.exists():
+        if _is_proc0() and tmp.exists():
             shutil.rmtree(tmp)  # stale leftover from a crashed save
+        _barrier(f"ckpt_tmp_clean_{name}")
         self._ckptr.save(tmp, state)
         self._pending = (name, tmp, json.dumps({"config": config_to_dict(cfg), "meta": meta}))
         if block:
