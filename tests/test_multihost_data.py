@@ -54,6 +54,17 @@ def test_uneven_dataset_wrap_pads():
     assert set(idx[0]) | set(idx[1]) == set(range(11))  # everything still seen
 
 
+def test_tiny_dataset_never_leaves_a_shard_empty():
+    """pad > len(ds): the permutation must CYCLE (np.resize), not single-slice
+    — an empty shard would leave that host issuing no steps while the others
+    hang in collectives."""
+    ds = _IdxDataset(1)
+    for s in range(4):
+        ld = DataLoader(ds, batch_size=1, num_workers=0, shard_index=s, num_shards=4)
+        assert _indices(ld) == [0]
+        assert len(ld) == 1
+
+
 def test_shards_use_same_permutation():
     """Shuffled shards partition the SAME epoch permutation: interleaving the
     two shard streams reconstructs it exactly."""

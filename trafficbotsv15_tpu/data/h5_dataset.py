@@ -157,6 +157,20 @@ def _collate(items):
     return out
 
 
+def shard_indices(idx: np.ndarray, shard_index: int, num_shards: int) -> np.ndarray:
+    """Disjoint stride slice of an epoch permutation for one host (torch
+    DistributedSampler semantics): wrap-pad by cycling the permutation so
+    every shard has exactly ceil(n / num_shards) entries — unequal shards
+    would desync the hosts' collectives. Shared by DataLoader and
+    tbcache.TBCacheLoader so the lockstep invariant has a single owner."""
+    if num_shards <= 1:
+        return idx
+    per = -(-len(idx) // num_shards)
+    if per * num_shards != len(idx):
+        idx = np.resize(idx, per * num_shards)  # cycles, even when pad > len
+    return idx[shard_index::num_shards]
+
+
 class DataLoader:
     """Thread-pool prefetching loader producing collated numpy batches."""
 
@@ -203,11 +217,7 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
         self.epoch += 1
-        if self.num_shards > 1:
-            pad = self._shard_len() * self.num_shards - len(idx)
-            if pad:  # wrap-pad so every shard has the same length
-                idx = np.concatenate([idx, idx[:pad]])
-            idx = idx[self.shard_index :: self.num_shards]
+        idx = shard_indices(idx, self.shard_index, self.num_shards)
         batches = [idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()

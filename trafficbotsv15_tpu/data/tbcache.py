@@ -223,11 +223,9 @@ class TBCacheLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
         self.epoch += 1
-        if self.num_shards > 1:
-            pad = self._shard_len() * self.num_shards - len(idx)
-            if pad:
-                idx = np.concatenate([idx, idx[:pad]])
-            idx = idx[self.shard_index :: self.num_shards]
+        from trafficbotsv15_tpu.data.h5_dataset import shard_indices
+
+        idx = shard_indices(idx, self.shard_index, self.num_shards)
         for i in range(start_batch * self.batch_size, len(idx), self.batch_size):
             b = idx[i : i + self.batch_size]
             if self.drop_last and len(b) < self.batch_size:

@@ -160,7 +160,7 @@ def test_submission(
         if step_fn is None:
             n_full = n_real
             mesh = _eval_mesh(n_full, mesh)
-            _check_post_cfg_shardable(cfg, mesh)
+            _check_post_cfg_shardable(cfg, mesh, k)
             b_sh, repl = batch_sharding(mesh), replicated(mesh)
             params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
             step_fn = jax.jit(step, in_shardings=(repl, b_sh, repl), out_shardings=repl)
@@ -192,23 +192,34 @@ def test_submission(
         }
         results.append(out)
         if have_protos:
-            sids = ["".join(chr(c) for c in row if c > 0) for row in np.asarray(b["scenario_id"])]
             g = np.asarray(womd["trajs"])[..., :2]
             if center is not None:
                 cy = np.asarray(yaw)
                 rot = np.stack([np.stack([np.cos(cy), np.sin(cy)], -1),
                                 np.stack([-np.sin(cy), np.cos(cy)], -1)], -2)
                 g = g @ rot[:, None, None] + np.asarray(center)[:, None, None, None]
-            sub_womd.add(sids, g, out["womd_scores"], np.asarray(b["history/agent/object_id"]),
-                         np.asarray(pp.ag_role[..., 2]))
-            wd = {"trajs": np.asarray(trajs_global)}
-            for kk in ("history/agent/valid", "history/agent/pos", "history/agent/yaw_bbox",
-                       "history/agent/object_id", "history/agent_no_sim/valid", "history/agent_no_sim/pos",
-                       "history/agent_no_sim/yaw_bbox", "history/agent_no_sim/object_id"):
-                wd[kk] = np.asarray(b[kk])
-            rollouts = get_scenario_rollouts(cfg.wosac_post, wd, cfg.time_step_current,
-                                             cfg.time_step_gt, sids)
-            sub_wosac.add(rollouts)
+            hist_keys = ("history/agent/valid", "history/agent/pos", "history/agent/yaw_bbox",
+                         "history/agent/object_id", "history/agent_no_sim/valid",
+                         "history/agent_no_sim/pos", "history/agent_no_sim/yaw_bbox",
+                         "history/agent_no_sim/object_id")
+            rows = {"sid": np.asarray(b["scenario_id"]), "g": g,
+                    "scores": np.asarray(out["womd_scores"]),
+                    "role": np.asarray(pp.ag_role[..., 2]),
+                    "trajs": np.asarray(trajs_global),
+                    **{kk: np.asarray(b[kk]) for kk in hist_keys}}
+            # multi-host: each rank ran its own shard on its local mesh; gather
+            # every rank's rows, then rank 0 alone assembles/writes the protos
+            # (the reference's dist_reduce_fx="cat" + rank-0 idiom,
+            # submission.py:46,170) — incremental shard flushes included
+            rows = _allgather_host_rows(rows)
+            if jax.process_index() == 0:
+                sids = ["".join(chr(c) for c in row if c > 0) for row in rows["sid"]]
+                sub_womd.add(sids, rows["g"], rows["scores"],
+                             rows["history/agent/object_id"], rows["role"])
+                wd = {"trajs": rows["trajs"], **{kk: rows[kk] for kk in hist_keys}}
+                rollouts = get_scenario_rollouts(cfg.wosac_post, wd, cfg.time_step_current,
+                                                 cfg.time_step_gt, sids)
+                sub_wosac.add(rollouts)
     if have_protos:
         if jax.process_count() > 1 and jax.process_index() != 0:
             # outputs are replicated, so every host holds the full submission;
@@ -270,12 +281,15 @@ def save_validation_videos(cfg, batch, buf, out_dir: str = "videos", n_vis: int 
     return paths
 
 
-def _check_post_cfg_shardable(cfg, mesh):
+def _check_post_cfg_shardable(cfg, mesh, k):
     """The EM aggregation mode (womd_post.aggr_thresh) runs host-side through
     jax.pure_callback inside the jitted eval step; with the batch sharded over
     several devices the callback sees per-shard operands (or, multi-host, a
-    non-addressable global array) — fail fast with the fix instead."""
-    if mesh.devices.size > 1 and len(cfg.womd_post.aggr_thresh) > 0:
+    non-addressable global array) — fail fast with the fix instead. Only
+    relevant when the aggregation branch is actually traced (K > k_pred;
+    womd_post_processing.py dispatch)."""
+    if (mesh.devices.size > 1 and len(cfg.womd_post.aggr_thresh) > 0
+            and k > cfg.womd_post.k_pred):
         raise ValueError(
             "womd_post.aggr_thresh (host-side EM aggregation) is single-device "
             "only — use mtr_nms_thresh/mpa_nms_thresh for sharded eval, or pass "
@@ -283,15 +297,44 @@ def _check_post_cfg_shardable(cfg, mesh):
         )
 
 
+def _cross_host_sum(tree):
+    """Sum a pytree of host scalars/arrays across processes (the torchmetrics
+    dist_reduce_fx="sum" role, training.py:44-72). No-op single-process."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(tree)  # leading axis = hosts
+    return jax.tree_util.tree_map(lambda x: np.asarray(x).sum(axis=0), gathered)
+
+
+def _allgather_host_rows(arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Concatenate per-host row blocks across processes (the torchmetrics
+    dist_reduce_fx="cat" role, submission.py:46,170): every rank contributes
+    its shard's rows; all ranks receive the full set. No-op single-process."""
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather({k: np.asarray(v) for k, v in arrays.items()})
+    return {k: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:]) for k, v in gathered.items()}
+
+
 def _eval_mesh(n_sc: int, mesh=None):
     """Largest data mesh whose size divides the eval batch (the reference
     validates under DDP with fixed per-rank batches, waymo_motion.py:616-626;
-    here uneven batches just drop to a smaller mesh instead of crashing)."""
+    here uneven batches just drop to a smaller mesh instead of crashing).
+
+    Multi-host jobs evaluate on a host-LOCAL mesh: eval is embarrassingly
+    parallel (each host's loader holds a disjoint dataset shard, no gradient
+    collective exists to synchronize), so chips never wait on DCN and every
+    process keeps addressable devices regardless of batch divisibility.
+    Cross-host aggregation happens once at the end (_cross_host_sum)."""
     from trafficbotsv15_tpu.parallel.mesh import make_mesh
 
     if mesh is not None:
         return mesh
-    devs = jax.devices()
+    devs = jax.local_devices() if jax.process_count() > 1 else jax.devices()
     n_data = len(devs)
     while n_data > 1 and n_sc % n_data:
         n_data -= 1
@@ -350,7 +393,7 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         b = {k: jnp.asarray(np.asarray(v)) for k, v in batch.items() if not isinstance(v, list)}
         if step_fn is None:
             mesh = _eval_mesh(next(iter(b.values())).shape[0], mesh)
-            _check_post_cfg_shardable(cfg, mesh)
+            _check_post_cfg_shardable(cfg, mesh, cfg.n_joint_future_wosac)
             b_sh, repl = batch_sharding(mesh), replicated(mesh)
             params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
             step_fn = jax.jit(step_raw, in_shardings=(repl, b_sh, repl), out_shardings=repl)
@@ -390,6 +433,22 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
             wosac_official.update(rollouts, hexes)
         n += next(iter(b.values())).shape[0]
 
+    # cross-host aggregation (the torchmetrics dist_reduce_fx="sum" role,
+    # training.py:44-72): on multi-host jobs every rank evaluated a disjoint
+    # shard on its local mesh — one allgather-and-sum of the running sums
+    # makes the reported metrics global. Lockstep loaders guarantee equal
+    # batch counts, so summed per-batch means divide by the summed count.
+    loss_sums = {k: float(np.sum([l[k] for l in losses])) for k in (losses[0] if losses else {})}
+    womd_sums = {k: float(np.sum([w[k] for w in womd_vals])) for k in (womd_vals[0] if womd_vals else {})}
+    reduced = _cross_host_sum({
+        "err": err_sums, "rr": rr_rule, "jf": jf_rule, "realism": realism_sums,
+        "realism_n": np.asarray(realism_n), "n": np.asarray(n),
+        "loss": loss_sums, "loss_cnt": np.asarray(len(losses)),
+        "womd": womd_sums, "womd_cnt": np.asarray(len(womd_vals)),
+    })
+    err_sums, rr_rule, jf_rule = reduced["err"], reduced["rr"], reduced["jf"]
+    realism_sums, realism_n, n = reduced["realism"], int(reduced["realism_n"]), int(reduced["n"])
+
     metrics: Dict[str, float] = {}
     if realism_n > 0:
         # reference namespaces: wosac/* buckets + wosac_likelihood/* fields
@@ -401,16 +460,23 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         metrics["wosac/min_ade"] = mean["min_average_displacement_error"]
         for k, v in mean.items():
             metrics[f"wosac_likelihood/{k}"] = v
-    if wosac_official is not None and wosac_official.counter > 0:
-        metrics.update(wosac_official.compute())
-    if womd_vals:
-        for k in womd_vals[0]:
-            metrics[f"joint_future_pred/womd/{k}"] = float(np.mean([w[k] for w in womd_vals]))
+    if wosac_official is not None:
+        # the official pool ran per-rank on per-host shards; sum its running
+        # sums/counter across hosts before the bucket aggregation (collective —
+        # ranks with zero scenarios still participate)
+        red = _cross_host_sum({"sums": wosac_official.sums,
+                               "counter": np.asarray(wosac_official.counter)})
+        wosac_official.sums = {k: float(v) for k, v in red["sums"].items()}
+        wosac_official.counter = int(red["counter"])
+        if wosac_official.counter > 0:
+            metrics.update(wosac_official.compute())
+    for k, v in reduced["womd"].items():
+        metrics[f"joint_future_pred/womd/{k}"] = float(v) / max(int(reduced["womd_cnt"]), 1)
     metrics.update(compute_error_metrics(err_sums, "reactive_replay"))
     metrics.update(compute_traffic_rule_metrics(rr_rule, "reactive_replay"))
     metrics.update(compute_traffic_rule_metrics(jf_rule, "joint_future_pred"))
-    for k in losses[0]:
-        metrics[k] = float(np.mean([l[k] for l in losses]))
+    for k, v in reduced["loss"].items():
+        metrics[k] = float(v) / max(int(reduced["loss_cnt"]), 1)
     metrics["val/loss"] = metrics.get("reactive_replay/loss", 0.0)
     metrics["val/scenarios_per_sec"] = n / (time.time() - t0)
     logger.log(0, metrics)

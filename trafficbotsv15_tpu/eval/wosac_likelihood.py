@@ -287,7 +287,8 @@ def compute_scenario_likelihoods(
 
     # speed at step t = speed over (t-1, t); zero where either step is invalid
     # so rising-edge garbage does not drive the closing-speed TTC test
-    sim_spd = jnp.concatenate([ls_s[..., :1], jnp.where(v1_sim, ls_s, 0.0)], axis=-1)
+    sim_spd = jnp.concatenate(
+        [jnp.where(v1_sim[..., :1], ls_s[..., :1], 0.0), jnp.where(v1_sim, ls_s, 0.0)], axis=-1)
     log_spd = jnp.concatenate(
         [jnp.where(v1[..., :1], ls_l[..., :1], 0.0), jnp.where(v1, ls_l, 0.0)], axis=-1)
     sim_ttc = jax.vmap(lambda tr, sp: jax.vmap(per_step_ttc, in_axes=(0, 0, None))(

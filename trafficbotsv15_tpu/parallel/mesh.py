@@ -115,16 +115,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def put_global(x, sharding: NamedSharding):
     """Place one host array onto a (possibly multi-process) sharding.
 
-    Single-process: plain device_put. Multi-process: the host array is this
-    process's shard of the global batch (each host loads a DISJOINT dataset
-    shard, the reference's DistributedSampler semantics) and the global array
-    is assembled from the per-process pieces without any cross-host transfer
-    (`jax.make_array_from_process_local_data` maps the local rows onto the
-    process's addressable devices, whatever their mesh order)."""
+    Fully-addressable shardings (single process, or a host-LOCAL eval mesh on
+    a multi-host job): plain device_put. A global multi-process sharding: the
+    host array is this process's shard of the global batch (each host loads a
+    DISJOINT dataset shard, the reference's DistributedSampler semantics) and
+    the global array is assembled from the per-process pieces without any
+    cross-host transfer (`jax.make_array_from_process_local_data` maps the
+    local rows onto the process's addressable devices, whatever their mesh
+    order)."""
     import numpy as np
 
     x = np.asarray(x)
-    if jax.process_count() == 1:
+    if jax.process_count() == 1 or sharding.is_fully_addressable:
         return jax.device_put(x, sharding)
     return jax.make_array_from_process_local_data(sharding, x)
 
