@@ -144,26 +144,30 @@ def pack_episode_agents(
         d["type"][i, ag_type[i]] = True
         d["object_id"][i] = ag_id[i]
         d["role"][i] = ag_role[i]
-        lwh, count = np.zeros(3), 0
-        for k in range(n_step):
-            st = ag_state[i][k]
-            if st[9]:
-                d["pos"][i, k] = st[0:3]
-                lwh += np.asarray(st[3:6])
-                d["yaw_bbox"][i, k, 0] = st[6]
-                d["vel"][i, k] = st[7:9]
-                d["valid"][i, k] = True
-                count += 1
-                sign = np.sign(np.cos(st[6]) * st[7] + np.sin(st[6]) * st[8])
-                d["spd"][i, k, 0] = sign * np.hypot(st[7], st[8])
-                d["goal"][i] = [d["pos"][i, k, 0], d["pos"][i, k, 1], st[6], d["spd"][i, k, 0]]
+        # vectorized over the step axis (the reference loops python steps,
+        # pack_h5.py:140-163); float64 math with the same rounding points, so
+        # results stay bit-identical to the scalar loop
+        st = np.asarray(ag_state[i], np.float64)  # [n_step, 10]
+        v = st[:, 9].astype(bool)
+        d["valid"][i] = v
+        d["pos"][i, v] = st[v, 0:3]
+        d["yaw_bbox"][i, v, 0] = st[v, 6]
+        d["vel"][i, v] = st[v, 7:9]
+        spd = np.sign(np.cos(st[:, 6]) * st[:, 7] + np.sin(st[:, 6]) * st[:, 8]) * np.hypot(
+            st[:, 7], st[:, 8])
+        d["spd"][i, v, 0] = spd[v]
+        if v.any():
+            last = int(np.where(v)[0][-1])
+            # goal x/y/spd read back through the float32 arrays in the loop
+            # formulation — keep the same double-rounding
+            d["goal"][i] = [np.float32(st[last, 0]), np.float32(st[last, 1]),
+                            st[last, 6], np.float32(spd[last])]
+            d["size"][i] = st[v, 3:6].sum(0) / v.sum()
         cmd = classify_track(
             d["valid"][i, step_current:], d["pos"][i, step_current:, :2],
             d["yaw_bbox"][i, step_current:, 0], d["spd"][i, step_current:, 0],
         )
         d["cmd"][i, cmd] = True
-        if count:
-            d["size"][i] = lwh / count
 
     sdc = int(np.where(d["role"][:, 0])[0][0])
     for k in d:
@@ -296,13 +300,14 @@ def repack_episode_map(episode, episode_reduced, n_mp_h5, n_mp_type):
 
 
 def filter_episode_traffic_lights(episode):
-    """Drop tl entries whose lane was filtered out (pack_h5.py:415-435)."""
+    """Drop tl entries whose lane was filtered out (pack_h5.py:415-435).
+    One [n_tl, n_mp] id-match matmul against per-polyline valid-node counts
+    replaces the reference's per-entry boolean scans."""
+    valid_nodes = episode["map/valid"].sum(1)  # [n_mp_data]
     for pf in [p for p in ("", "history/") if p + "tl_lane/valid" in episode]:
-        lane_ids = episode[pf + "tl_lane/id"]
-        for i in range(len(lane_ids)):
-            sel = episode["map/id"] == lane_ids[i]
-            if episode["map/valid"][sel].sum() == 0:
-                episode[pf + "tl_lane/valid"][i] = False
+        lane_ids = np.asarray(episode[pf + "tl_lane/id"])
+        dead = (episode["map/id"][None, :] == lane_ids[:, None]) @ valid_nodes == 0
+        episode[pf + "tl_lane/valid"][dead] = False
 
 
 def repack_episode_traffic_lights(episode, episode_reduced, n_tl_lane_h5, n_tl_state):
