@@ -1,0 +1,40 @@
+"""Worker for tests/test_multiprocess_integration.py — one REAL jax process
+of a 2-process x 2-CPU-device "pod". Not collected by pytest (no test_ prefix).
+
+Exercises the full multi-host story end-to-end: jax.distributed init, sharded
+loaders (DistributedSampler semantics), fit() on the global 4-device mesh with
+put_global batch assembly and barrier-fenced rank-0 checkpointing, then
+validate() on the host-LOCAL mesh with the cross-host metric sum.
+
+Usage: python mh_worker.py <proc_id> <port> <ckpt_dir>
+"""
+
+import json
+import os
+import sys
+
+proc_id, port, ckpt_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=proc_id)
+assert jax.process_count() == 2 and len(jax.devices()) == 4, (
+    jax.process_count(), len(jax.devices()))
+
+from trafficbotsv15_tpu import run as run_mod  # noqa: E402
+from trafficbotsv15_tpu.config import tiny_config  # noqa: E402
+from trafficbotsv15_tpu.eval.runner import validate  # noqa: E402
+
+cfg = run_mod.apply_overrides(tiny_config(), {"validate_every_epoch": False, "max_epochs": 1})
+
+train_loader, val_loader = run_mod.make_dataloaders(cfg, "synthetic", None)
+params, _, stopped = run_mod.fit(cfg, train_loader, val_loader, ckpt_dir=ckpt_dir,
+                                 max_steps=2, log_every=1)
+assert not stopped
+
+metrics = validate(cfg, val_loader, ckpt_dir=ckpt_dir, params=params, max_batches=2)
+out = {k: round(float(v), 6) for k, v in metrics.items() if "per_sec" not in k}
+print("MHRESULT " + json.dumps({"proc": proc_id, "metrics": out}), flush=True)

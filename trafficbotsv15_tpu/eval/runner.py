@@ -138,7 +138,7 @@ def test_submission(
     # sharded generation: the K x scenario rollouts spread over the data mesh;
     # replicated outputs = the reference's all-gather of submission tensors
     # (utils/submission.py:46,170 dist_reduce_fx="cat")
-    from trafficbotsv15_tpu.parallel.mesh import batch_sharding, replicated, shard_batch
+    from trafficbotsv15_tpu.parallel.mesh import batch_sharding, put_replicated, replicated, shard_batch
 
     step_fn = None
     meta = meta or SubmissionMeta()
@@ -162,7 +162,7 @@ def test_submission(
             mesh = _eval_mesh(n_full, mesh)
             _check_post_cfg_shardable(cfg, mesh, k)
             b_sh, repl = batch_sharding(mesh), replicated(mesh)
-            params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
+            params = jax.tree_util.tree_map(lambda x: put_replicated(x, repl), params)
             step_fn = jax.jit(step, in_shardings=(repl, b_sh, repl), out_shardings=repl)
         elif n_real != n_full:
             # uneven tail batch: pad (repeating the last scenario) up to the
@@ -359,7 +359,7 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
     # metric sums reduce under GSPMD (the torchmetrics cross-GPU sync
     # equivalent) and the post-processed submission arrays come back
     # replicated, i.e. gathered (waymo_motion.py:616-626 rank-0 idiom)
-    from trafficbotsv15_tpu.parallel.mesh import batch_sharding, replicated, shard_batch
+    from trafficbotsv15_tpu.parallel.mesh import batch_sharding, put_replicated, replicated, shard_batch
 
     step_raw = make_validate_step(cfg, model)
     step_fn = None  # jitted once the first batch fixes the mesh shape
@@ -395,7 +395,7 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
             mesh = _eval_mesh(next(iter(b.values())).shape[0], mesh)
             _check_post_cfg_shardable(cfg, mesh, cfg.n_joint_future_wosac)
             b_sh, repl = batch_sharding(mesh), replicated(mesh)
-            params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
+            params = jax.tree_util.tree_map(lambda x: put_replicated(x, repl), params)
             step_fn = jax.jit(step_raw, in_shardings=(repl, b_sh, repl), out_shardings=repl)
         elif next(iter(b.values())).shape[0] % mesh.devices.size:
             continue  # uneven tail batch (DDP's DistributedSampler drops these too)
@@ -447,7 +447,8 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         "womd": womd_sums, "womd_cnt": np.asarray(len(womd_vals)),
     })
     err_sums, rr_rule, jf_rule = reduced["err"], reduced["rr"], reduced["jf"]
-    realism_sums, realism_n, n = reduced["realism"], int(reduced["realism_n"]), int(reduced["n"])
+    realism_sums = {k: float(v) for k, v in reduced["realism"].items()}
+    realism_n, n = int(reduced["realism_n"]), int(reduced["n"])
 
     metrics: Dict[str, float] = {}
     if realism_n > 0:

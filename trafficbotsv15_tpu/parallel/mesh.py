@@ -137,6 +137,22 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: put_global(x, sh), batch)
 
 
+def put_replicated(x, sharding: NamedSharding):
+    """device_put onto a (possibly multi-process) replicated/param sharding.
+
+    Multi-process with a device-resident source would need a cross-host
+    transfer (CPU backends reject it; on TPU it would ride DCN): materialize
+    to host first — every process holds the full replicated value, so the put
+    becomes process-local."""
+    import numpy as np
+
+    if jax.process_count() > 1 and (
+        not sharding.is_fully_addressable or not getattr(x, "is_fully_addressable", True)
+    ):
+        x = np.asarray(x)
+    return jax.device_put(x, sharding)
+
+
 def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**14):
     """ZeRO/FSDP-style parameter sharding: split each large parameter's
     largest axis across the data axis; XLA all-gathers it at use and
@@ -146,14 +162,14 @@ def fsdp_shard_params(params, mesh: Mesh, min_size: int = 2**14):
 
     def shard_one(p):
         if p.size < min_size:
-            return jax.device_put(p, NamedSharding(mesh, P()))
+            return put_replicated(p, NamedSharding(mesh, P()))
         dims = list(p.shape)
         for axis in sorted(range(len(dims)), key=lambda a: -dims[a]):
             if dims[axis] % n_data == 0:
                 spec = [None] * len(dims)
                 spec[axis] = DATA_AXIS
-                return jax.device_put(p, NamedSharding(mesh, P(*spec)))
-        return jax.device_put(p, NamedSharding(mesh, P()))
+                return put_replicated(p, NamedSharding(mesh, P(*spec)))
+        return put_replicated(p, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(shard_one, params)
 
@@ -193,7 +209,7 @@ def tp_shard_params(params, mesh: Mesh):
         elif p.ndim >= 2 and any(r in n for n in keys for r in row):
             if p.shape[0] % n_model == 0:
                 spec[0] = MODEL_AXIS
-        return jax.device_put(p, NamedSharding(mesh, P(*spec)))
+        return put_replicated(p, NamedSharding(mesh, P(*spec)))
 
     return jax.tree_util.tree_map_with_path(shard_one, params)
 

@@ -118,8 +118,10 @@ def make_dataloaders(cfg: ExperimentCfg, data: str, data_dir: Optional[str], n_s
 def _place_like(template, value):
     """Device-put a restored host pytree onto the placements (sharding + dtype)
     of a freshly initialized template with the same structure."""
+    from trafficbotsv15_tpu.parallel.mesh import put_replicated
+
     return jax.tree_util.tree_map(
-        lambda t, x: jax.device_put(jnp.asarray(x, t.dtype), t.sharding) if hasattr(t, "shape") else x,
+        lambda t, x: put_replicated(np.asarray(x, t.dtype), t.sharding) if hasattr(t, "shape") else x,
         template, value,
     )
 
@@ -188,9 +190,11 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
         params = tp_shard_params(params, mesh)
         opt_state = opt.init(params)
     else:
-        params = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), params)
+        from trafficbotsv15_tpu.parallel.mesh import put_replicated
+
+        params = jax.tree_util.tree_map(lambda x: put_replicated(x, repl), params)
         opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x, opt.init(params))
+            lambda x: put_replicated(x, repl) if hasattr(x, "shape") else x, opt.init(params))
     if restored is not None and "opt_state" in restored:
         opt_state = _place_like(opt_state, restored["opt_state"])
 

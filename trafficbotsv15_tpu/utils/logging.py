@@ -23,7 +23,8 @@ class MetricsLogger:
         rec = {"step": step, "t": round(time.time() - self.t0, 2), **metrics}
         if self.path:
             with open(self.path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+                # default=float: numpy scalars slip into metric dicts easily
+                f.write(json.dumps(rec, default=float) + "\n")
         if self.echo:
             parts = " ".join(f"{k}={v:.4g}" for k, v in metrics.items() if isinstance(v, (int, float)))
             print(f"[step {step}] {parts}", flush=True)
