@@ -37,4 +37,30 @@ assert not stopped
 
 metrics = validate(cfg, val_loader, ckpt_dir=ckpt_dir, params=params, max_batches=2)
 out = {k: round(float(v), 6) for k, v in metrics.items() if "per_sec" not in k}
-print("MHRESULT " + json.dumps({"proc": proc_id, "metrics": out}), flush=True)
+
+# submission assembly across processes: each rank generates DIFFERENT
+# scenarios; _allgather_host_rows must hand rank 0 all of them
+from pathlib import Path  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).parent))
+import waymo_stub  # noqa: E402
+
+waymo_stub.install()
+from trafficbotsv15_tpu.data.synthetic import make_batch  # noqa: E402
+from trafficbotsv15_tpu.eval.runner import test_submission  # noqa: E402
+
+sub_dir = os.path.join(ckpt_dir, "sub")
+loader = [make_batch(cfg.data, n_sc=2, seed=100 + proc_id, test_mode=True)]
+res = test_submission(cfg, loader, params, out_dir=sub_dir, n_joint_future=4)
+sub_sids = None
+if jax.process_index() == 0:
+    from waymo_open_dataset.protos import motion_submission_pb2 as mpb  # noqa: E402
+
+    womd_bin = next(Path(sub_dir).glob("*_WOMD/*_WOMD.bin"))
+    msg = mpb.MotionChallengeSubmission.FromString(womd_bin.read_bytes())
+    sub_sids = sorted(p.scenario_id for p in msg.scenario_predictions)
+
+print("MHRESULT " + json.dumps({
+    "proc": proc_id, "metrics": out, "sub_sids": sub_sids,
+    "sub_skipped": res == (None, None),
+}), flush=True)

@@ -60,17 +60,23 @@ def test_two_process_fit_and_validate(tmp_path):
         for line in out.splitlines():
             if line.startswith("MHRESULT "):
                 r = json.loads(line[len("MHRESULT "):])
-                results[r["proc"]] = r["metrics"]
+                results[r["proc"]] = r
     assert set(results) == {0, 1}, f"missing results: {list(results)}"
 
     # the cross-host sum makes the reported metrics GLOBAL: both processes
     # must agree exactly, and the realism metametric must be present
-    assert results[0] == results[1]
-    assert "wosac/realism_meta_metric" in results[0]
-    assert "reactive_replay/loss" in results[0]
+    assert results[0]["metrics"] == results[1]["metrics"]
+    assert "wosac/realism_meta_metric" in results[0]["metrics"]
+    assert "reactive_replay/loss" in results[0]["metrics"]
 
     # rank-0-only barrier-fenced checkpointing: exactly one finalized "last"
     assert (ckpt / "last").exists() and (ckpt / "last.json").exists()
     assert not (ckpt / "last.tmp").exists()
     meta = json.loads((ckpt / "last.json").read_text())["meta"]
     assert meta["step"] == 2
+
+    # submission gather: rank 0's written protos cover BOTH ranks' scenarios
+    # (each rank generated a different synthetic seed); rank 1 wrote nothing
+    assert results[0]["sub_sids"] == [
+        "synthetic_100_0", "synthetic_100_1", "synthetic_101_0", "synthetic_101_1"]
+    assert results[1]["sub_skipped"] is True and results[0]["sub_skipped"] is False
