@@ -6,7 +6,11 @@ loaders (DistributedSampler semantics), fit() on the global 4-device mesh with
 put_global batch assembly and barrier-fenced rank-0 checkpointing, then
 validate() on the host-LOCAL mesh with the cross-host metric sum.
 
-Usage: python mh_worker.py <proc_id> <port> <ckpt_dir>
+Usage: python mh_worker.py <proc_id> <port> <ckpt_dir> [full|place]
+
+"place" mode only exercises the cross-process array-placement primitives
+(fast, no model compile): put_global batch assembly, fsdp-sharded ->
+host-local-replicated put_replicated, and the cross-host sum.
 """
 
 import json
@@ -14,6 +18,7 @@ import os
 import sys
 
 proc_id, port, ckpt_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "full"
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
@@ -23,6 +28,31 @@ jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=proc_id)
 assert jax.process_count() == 2 and len(jax.devices()) == 4, (
     jax.process_count(), len(jax.devices()))
+
+if mode == "place":
+    import numpy as np
+
+    from trafficbotsv15_tpu.eval.runner import _cross_host_sum
+    from trafficbotsv15_tpu.parallel.mesh import (
+        batch_sharding, fsdp_shard_params, make_mesh, put_global, put_replicated, replicated)
+
+    gmesh = make_mesh()  # 4 devices, process-spanning
+    # sharded global batch from per-process rows (each rank holds 2 of 4 rows)
+    local = np.arange(8, dtype=np.float32).reshape(2, 4) + 100 * proc_id
+    g = put_global(local, batch_sharding(gmesh))
+    total = float(jax.jit(lambda x: x.sum(), out_shardings=replicated(gmesh))(g))
+    # fsdp-sharded (non-addressable, non-replicated) params -> host-local mesh
+    params = {"w": np.arange(16, dtype=np.float32).reshape(4, 4), "b": np.ones(4, np.float32)}
+    sharded = fsdp_shard_params(params, gmesh, min_size=1)
+    assert not sharded["w"].is_fully_addressable and not sharded["w"].is_fully_replicated
+    lmesh = make_mesh(devices=jax.local_devices())
+    out = jax.tree_util.tree_map(lambda x: put_replicated(x, replicated(lmesh)), sharded)
+    np.testing.assert_array_equal(np.asarray(out["w"]), params["w"])
+    reduced = _cross_host_sum({"a": np.asarray(float(proc_id + 1))})
+    print("MHRESULT " + json.dumps({
+        "proc": proc_id, "batch_sum": total, "cross_sum": float(reduced["a"]),
+    }), flush=True)
+    sys.exit(0)
 
 from trafficbotsv15_tpu import run as run_mod  # noqa: E402
 from trafficbotsv15_tpu.config import tiny_config  # noqa: E402

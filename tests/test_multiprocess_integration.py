@@ -30,15 +30,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_fit_and_validate(tmp_path):
+def _run_pair(tmp_path, mode, timeout):
     port = _free_port()
     ckpt = tmp_path / "ckpt"
     env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(REPO / "tests" / "mh_worker.py"), str(i), str(port), str(ckpt)],
+            [sys.executable, str(REPO / "tests" / "mh_worker.py"),
+             str(i), str(port), str(ckpt), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env, cwd=REPO,
         )
         for i in (0, 1)
@@ -46,7 +46,7 @@ def test_two_process_fit_and_validate(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=1500)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -62,6 +62,24 @@ def test_two_process_fit_and_validate(tmp_path):
                 r = json.loads(line[len("MHRESULT "):])
                 results[r["proc"]] = r
     assert set(results) == {0, 1}, f"missing results: {list(results)}"
+    return results, ckpt
+
+
+def test_two_process_placement_primitives(tmp_path):
+    """Fast 2-process check of the cross-process array-placement primitives
+    (runs in the default suite; the full fit+validate lifecycle is the slow
+    test below)."""
+    results, _ = _run_pair(tmp_path, "place", timeout=420)
+    for r in results.values():
+        # rank 0 rows: 0..7 (sum 28); rank 1: the same + 100 on each of the 8
+        # elements (sum 828) — the global sharded batch sums to 856
+        assert r["batch_sum"] == 856.0
+        assert r["cross_sum"] == 3.0  # 1 + 2 across ranks
+
+
+@pytest.mark.slow
+def test_two_process_fit_and_validate(tmp_path):
+    results, ckpt = _run_pair(tmp_path, "full", timeout=1500)
 
     # the cross-host sum makes the reported metrics GLOBAL: both processes
     # must agree exactly, and the realism metametric must be present

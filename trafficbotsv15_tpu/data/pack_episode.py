@@ -162,7 +162,10 @@ def pack_episode_agents(
             # formulation — keep the same double-rounding
             d["goal"][i] = [np.float32(st[last, 0]), np.float32(st[last, 1]),
                             st[last, 6], np.float32(spd[last])]
-            d["size"][i] = st[v, 3:6].sum(0) / v.sum()
+            # cumsum accumulates sequentially in step order — the same float64
+            # rounding sequence as the replaced loop's `lwh += st[3:6]` (a
+            # pairwise .sum(0) could differ by an ulp over many steps)
+            d["size"][i] = np.cumsum(st[v, 3:6], axis=0)[-1] / v.sum()
         cmd = classify_track(
             d["valid"][i, step_current:], d["pos"][i, step_current:, :2],
             d["yaw_bbox"][i, step_current:, 0], d["spd"][i, step_current:, 0],

@@ -154,7 +154,6 @@ def test_submission(
     for i, batch in enumerate(test_loader):
         if max_batches and i >= max_batches:
             break
-        scen_bytes = batch.get("scenario_bytes")
         b = {kk: jnp.asarray(np.asarray(v)) for kk, v in batch.items() if not isinstance(v, list)}
         n_real = next(iter(b.values())).shape[0]
         if step_fn is None:
@@ -198,32 +197,29 @@ def test_submission(
                 rot = np.stack([np.stack([np.cos(cy), np.sin(cy)], -1),
                                 np.stack([-np.sin(cy), np.cos(cy)], -1)], -2)
                 g = g @ rot[:, None, None] + np.asarray(center)[:, None, None, None]
-            hist_keys = ("history/agent/valid", "history/agent/pos", "history/agent/yaw_bbox",
-                         "history/agent/object_id", "history/agent_no_sim/valid",
-                         "history/agent_no_sim/pos", "history/agent_no_sim/yaw_bbox",
-                         "history/agent_no_sim/object_id")
             rows = {"sid": np.asarray(b["scenario_id"]), "g": g,
                     "scores": np.asarray(out["womd_scores"]),
                     "role": np.asarray(pp.ag_role[..., 2]),
                     "trajs": np.asarray(trajs_global),
-                    **{kk: np.asarray(b[kk]) for kk in hist_keys}}
+                    **{kk: np.asarray(b[kk]) for kk in _WOSAC_HIST_KEYS}}
             # multi-host: each rank ran its own shard on its local mesh; gather
             # every rank's rows, then rank 0 alone assembles/writes the protos
             # (the reference's dist_reduce_fx="cat" + rank-0 idiom,
             # submission.py:46,170) — incremental shard flushes included
             rows = _allgather_host_rows(rows)
             if jax.process_index() == 0:
-                sids = ["".join(chr(c) for c in row if c > 0) for row in rows["sid"]]
+                sids = _decode_sids(rows["sid"])
                 sub_womd.add(sids, rows["g"], rows["scores"],
                              rows["history/agent/object_id"], rows["role"])
-                wd = {"trajs": rows["trajs"], **{kk: rows[kk] for kk in hist_keys}}
+                wd = {"trajs": rows["trajs"], **{kk: rows[kk] for kk in _WOSAC_HIST_KEYS}}
                 rollouts = get_scenario_rollouts(cfg.wosac_post, wd, cfg.time_step_current,
                                                  cfg.time_step_gt, sids)
                 sub_wosac.add(rollouts)
     if have_protos:
         if jax.process_count() > 1 and jax.process_index() != 0:
-            # outputs are replicated, so every host holds the full submission;
-            # only rank 0 writes the shards (waymo_motion.py:616-626 idiom)
+            # non-zero ranks only contributed rows to the gather above; their
+            # submission objects are empty — rank 0 alone holds and writes the
+            # full submission (waymo_motion.py:616-626 rank-0 idiom)
             return None, None
         return sub_womd.save(out_dir), sub_wosac.save()
     return results
@@ -295,6 +291,20 @@ def _check_post_cfg_shardable(cfg, mesh, k):
             "only — use mtr_nms_thresh/mpa_nms_thresh for sharded eval, or pass "
             "a single-device mesh"
         )
+
+
+# batch keys get_scenario_rollouts needs for WOSAC proto assembly
+_WOSAC_HIST_KEYS = (
+    "history/agent/valid", "history/agent/pos", "history/agent/yaw_bbox",
+    "history/agent/object_id", "history/agent_no_sim/valid",
+    "history/agent_no_sim/pos", "history/agent_no_sim/yaw_bbox",
+    "history/agent_no_sim/object_id",
+)
+
+
+def _decode_sids(id_rows) -> list:
+    """Scenario-id char-code rows back to strings (zero-padded in the batch)."""
+    return ["".join(chr(c) for c in row if c > 0) for row in id_rows]
 
 
 def _cross_host_sum(tree):
@@ -419,13 +429,9 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
                 from trafficbotsv15_tpu.eval.wosac_post_processing import to_global_frame
 
                 trajs = to_global_frame(trajs, b["scenario_center"], b["scenario_yaw"])
-            sids = ["".join(chr(c) for c in row if c > 0) for row in np.asarray(b["scenario_id"])]
-            wd = {"trajs": np.asarray(trajs)}
-            for kk in ("history/agent/valid", "history/agent/pos", "history/agent/yaw_bbox",
-                       "history/agent/object_id", "history/agent_no_sim/valid",
-                       "history/agent_no_sim/pos", "history/agent_no_sim/yaw_bbox",
-                       "history/agent_no_sim/object_id"):
-                wd[kk] = np.asarray(b[kk])
+            sids = _decode_sids(np.asarray(b["scenario_id"]))
+            wd = {"trajs": np.asarray(trajs),
+                  **{kk: np.asarray(b[kk]) for kk in _WOSAC_HIST_KEYS}}
             rollouts = get_scenario_rollouts(cfg.wosac_post, wd, cfg.time_step_current,
                                              cfg.time_step_gt, sids)
             sb = batch["scenario_bytes"]

@@ -143,12 +143,20 @@ def put_replicated(x, sharding: NamedSharding):
     Multi-process with a device-resident source would need a cross-host
     transfer (CPU backends reject it; on TPU it would ride DCN): materialize
     to host first — every process holds the full replicated value, so the put
-    becomes process-local."""
+    becomes process-local. A non-addressable SHARDED source (fsdp/tp params
+    entering eval on a multi-host job) cannot be np.asarray'd directly; it is
+    gathered first (process_allgather is a collective — callers map it over
+    pytrees in identical order on every rank, which tree_map guarantees)."""
     import numpy as np
 
     if jax.process_count() > 1 and (
         not sharding.is_fully_addressable or not getattr(x, "is_fully_addressable", True)
     ):
+        if (hasattr(x, "is_fully_addressable") and not x.is_fully_addressable
+                and not x.is_fully_replicated):
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
         x = np.asarray(x)
     return jax.device_put(x, sharding)
 
