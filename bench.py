@@ -201,7 +201,8 @@ def main():
     mode = os.environ.get("BENCH_MODE", "rollout")
     # rollout default batch 4: the throughput sweet spot on v5e (batch 2 leaves
     # fixed per-step costs unamortized, batch 8 pressures HBM; docs/PERF.md)
-    n_sc = int(os.environ.get("BENCH_N_SC", "8" if mode == "train" else "4"))
+    n_sc = int(os.environ.get("BENCH_N_SC",
+                              {"train": "8", "serve": "1"}.get(mode, "4")))
     n_future = int(os.environ.get("BENCH_N_FUTURE", "32"))
     n_iters = int(os.environ.get("BENCH_ITERS", "5"))
     check_level = int(os.environ.get("BENCH_CHECK_LEVEL", "1"))
@@ -289,6 +290,34 @@ def main():
             "unit": "scenarios/s/chip",
             "vs_baseline": round(value / BASELINE_VALIDATE_SCENARIOS_PER_SEC_PER_CHIP, 2),
             **_mfu_fields(flops, dt),
+        }))
+        return
+
+    if mode == "serve":
+        # interactive serving latency: one policy step of the device-resident
+        # InteractiveSimulator (async dispatch, no per-step host sync). No
+        # reference analogue exists (its player_policy is a dead stub,
+        # waymo_motion.py:228-238); vs_baseline is the REAL-TIME requirement
+        # (10 Hz sim -> 10 steps/s), i.e. the real-time factor.
+        from trafficbotsv15_tpu.serve import InteractiveSimulator
+
+        n_serve = int(os.environ.get("BENCH_SERVE_STEPS", "50"))
+        sim = InteractiveSimulator(cfg, params)
+        sim.reset(batch, jax.random.PRNGKey(2))
+        for _ in range(3):  # compile + absorb the post-compile stall
+            out = sim.step(fetch=False)
+        jax.block_until_ready(out["pose"])
+        t0 = time.perf_counter()
+        for _ in range(n_serve):
+            out = sim.step(fetch=False)
+        jax.block_until_ready(out["pose"])
+        dt = (time.perf_counter() - t0) / n_serve
+        print(json.dumps({
+            "metric": "serve_policy_steps_per_sec",
+            "value": round(1.0 / dt, 1),
+            "unit": "steps/s (1 step = 0.1 s sim time)",
+            "vs_baseline": round(1.0 / dt / 10.0, 2),
+            "latency_ms": round(dt * 1e3, 3),
         }))
         return
 
