@@ -51,3 +51,37 @@ def test_validate_end_to_end():
     assert metrics["wosac_likelihood/min_average_displacement_error"] <= \
         metrics["wosac_likelihood/average_displacement_error"] + 1e-6
     assert np.isfinite(metrics["wosac/min_ade"])
+
+
+def test_official_womd_wiring(monkeypatch):
+    """The official WOMD op path (gated off on this image — no tf/waymo):
+    validate() must accumulate golden-tested packed inputs per batch and make
+    ONE epoch-end call with the concatenated rows (the reference's
+    dist_reduce_fx="cat" + aggregate_on_cpu idiom, womd.py:114-174)."""
+    from trafficbotsv15_tpu.eval import runner as runner_mod
+    from trafficbotsv15_tpu.eval import womd_metrics as wm
+
+    cfg = tiny_config(n_ag=6, n_mp=20, n_tl=6, n_step=21, hidden_dim=32)
+    loader = Loader(cfg, n_batches=2, n_sc=2)
+    batch0 = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    model = build_model(cfg)
+    params = init_params(cfg, model, batch0, jax.random.PRNGKey(0))
+
+    calls = []
+
+    def fake_op(packed, step_current, prefix):
+        calls.append((packed, step_current, prefix))
+        return {f"{prefix}/waymo_metrics/mean_average_precision": 0.5}
+
+    monkeypatch.setattr(runner_mod, "_womd_official_available", lambda: True)
+    monkeypatch.setattr(wm, "official_motion_metrics", fake_op)
+    metrics = validate(cfg, loader, params=params)
+
+    assert metrics["joint_future_pred/waymo_metrics/mean_average_precision"] == 0.5
+    assert len(calls) == 1  # one aggregated call, not one per batch
+    packed, step_current, prefix = calls[0]
+    assert step_current == cfg.time_step_current and prefix == "joint_future_pred"
+    # 2 batches x 2 scenarios concatenated; op-layout invariants hold
+    assert packed["prediction_trajectory"].shape[0] == 4
+    assert packed["ground_truth_trajectory"].shape[-1] == 7
+    assert packed["prediction_ground_truth_indices_mask"].any()

@@ -307,6 +307,18 @@ def _decode_sids(id_rows) -> list:
     return ["".join(chr(c) for c in row if c > 0) for row in id_rows]
 
 
+def _womd_official_available() -> bool:
+    """Waymo's C++/TF motion-metrics op importable? (Absent on this image;
+    tests monkeypatch this to exercise the accumulate/aggregate wiring.)"""
+    import importlib.util as _ilu
+
+    try:
+        return (_ilu.find_spec("waymo_open_dataset.metrics.ops") is not None
+                and _ilu.find_spec("tensorflow") is not None)
+    except (ImportError, ModuleNotFoundError):
+        return False
+
+
 def _cross_host_sum(tree):
     """Sum a pytree of host scalars/arrays across processes (the torchmetrics
     dist_reduce_fx="sum" role, training.py:44-72). No-op single-process."""
@@ -391,6 +403,14 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         wosac_official = WOSACMetrics("wosac")
     except ImportError:
         pass
+    # official WOMD motion metrics (mAP etc.) when the C++/TF op is available
+    # (womd.py:140-174, run every val epoch at waymo_motion.py:611-646): the
+    # golden-tested input packing accumulates host-side like the reference's
+    # dist_reduce_fx="cat" metric state; ONE op call at epoch end
+    womd_official_ok = _womd_official_available()
+    womd_packed: list = []
+    _WOMD_GT_KEYS = ("agent/role", "agent/valid", "agent/pos", "agent/size",
+                     "agent/yaw_bbox", "agent/vel", "agent/type")
 
     err_sums, rr_rule, jf_rule, losses, womd_vals = {}, {}, {}, [], []
     realism_sums: Dict[str, float] = {}
@@ -423,6 +443,14 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
             for k, v in out["wosac_realism"].items():
                 realism_sums[k] = realism_sums.get(k, 0.0) + float(np.sum(np.asarray(v)))
             realism_n += int(next(iter(out["wosac_realism"].values())).shape[0])
+        if womd_official_ok and all(k in b for k in _WOMD_GT_KEYS):
+            from trafficbotsv15_tpu.eval.womd_metrics import pack_waymo_inputs
+
+            womd_packed.append(pack_waymo_inputs(
+                {k: np.asarray(b[k]) for k in _WOMD_GT_KEYS},
+                np.asarray(out["womd_trajs"]), np.asarray(out["womd_scores"]),
+                cfg.time_step_gt, cfg.time_step_current,
+            ))
         if wosac_official is not None and "scenario_bytes" in batch and "scenario_id" in batch:
             trajs = out["wosac_trajs"]
             if "scenario_center" in b:
@@ -477,6 +505,17 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         wosac_official.counter = int(red["counter"])
         if wosac_official.counter > 0:
             metrics.update(wosac_official.compute())
+    if womd_official_ok and womd_packed:
+        from trafficbotsv15_tpu.eval.womd_metrics import official_motion_metrics
+
+        packed = {k: np.concatenate([p[k] for p in womd_packed]) for k in womd_packed[0]}
+        # gather every rank's packed rows (collective — the lockstep loaders
+        # make womd_packed non-empty on all ranks together); the op runs once
+        # on rank 0 like the reference's aggregate_on_cpu (womd.py:114-174)
+        packed = _allgather_host_rows(packed)
+        if jax.process_index() == 0:
+            metrics.update(official_motion_metrics(packed, cfg.time_step_current,
+                                                   "joint_future_pred"))
     for k, v in reduced["womd"].items():
         metrics[f"joint_future_pred/womd/{k}"] = float(v) / max(int(reduced["womd_cnt"]), 1)
     metrics.update(compute_error_metrics(err_sums, "reactive_replay"))
