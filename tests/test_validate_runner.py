@@ -78,10 +78,16 @@ def test_official_womd_wiring(monkeypatch):
     metrics = validate(cfg, loader, params=params)
 
     assert metrics["joint_future_pred/waymo_metrics/mean_average_precision"] == 0.5
-    assert len(calls) == 1  # one aggregated call, not one per batch
-    packed, step_current, prefix = calls[0]
-    assert step_current == cfg.time_step_current and prefix == "joint_future_pred"
-    # 2 batches x 2 scenarios concatenated; op-layout invariants hold
-    assert packed["prediction_trajectory"].shape[0] == 4
-    assert packed["ground_truth_trajectory"].shape[-1] == 7
-    assert packed["prediction_ground_truth_indices_mask"].any()
+    assert metrics["reactive_replay/waymo_metrics/mean_average_precision"] == 0.5
+    # one aggregated call per rollout flavor (waymo_motion.py:569-582,611-646),
+    # not one per batch
+    assert [c[2] for c in calls] == ["joint_future_pred", "reactive_replay"]
+    for packed, step_current, prefix in calls:
+        assert step_current == cfg.time_step_current
+        # 2 batches x 2 scenarios concatenated; op-layout invariants hold
+        assert packed["prediction_trajectory"].shape[0] == 4
+        assert packed["ground_truth_trajectory"].shape[-1] == 7
+        assert packed["prediction_ground_truth_indices_mask"].any()
+    # joint futures carry K modes, reactive replay exactly one
+    assert calls[0][0]["prediction_trajectory"].shape[2] > 1
+    assert calls[1][0]["prediction_trajectory"].shape[2] == 1

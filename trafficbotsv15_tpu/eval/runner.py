@@ -96,6 +96,11 @@ def make_validate_step(cfg: ExperimentCfg, model):
                     gt_valid=pp.gt_valid, gt_spd=pp.gt_motion[..., 0],
                     mask_pred=pp.ag_role[..., 2], step_current=cfg.time_step_current,
                 )
+                # raw reduced rr modes for the official-op packing (the
+                # reference feeds WOMDMetrics from reactive replay too,
+                # waymo_motion.py:569-582)
+                out["womd_rr_trajs"] = womd_rr["trajs"]
+                out["womd_rr_scores"] = womd_rr["scores"]
         return out
 
     return step
@@ -409,6 +414,7 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
     # dist_reduce_fx="cat" metric state; ONE op call at epoch end
     womd_official_ok = _womd_official_available()
     womd_packed: list = []
+    womd_rr_packed: list = []
     _WOMD_GT_KEYS = ("agent/role", "agent/valid", "agent/pos", "agent/size",
                      "agent/yaw_bbox", "agent/vel", "agent/type")
 
@@ -446,11 +452,16 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
         if womd_official_ok and all(k in b for k in _WOMD_GT_KEYS):
             from trafficbotsv15_tpu.eval.womd_metrics import pack_waymo_inputs
 
+            gt = {k: np.asarray(b[k]) for k in _WOMD_GT_KEYS}
             womd_packed.append(pack_waymo_inputs(
-                {k: np.asarray(b[k]) for k in _WOMD_GT_KEYS},
-                np.asarray(out["womd_trajs"]), np.asarray(out["womd_scores"]),
+                gt, np.asarray(out["womd_trajs"]), np.asarray(out["womd_scores"]),
                 cfg.time_step_gt, cfg.time_step_current,
             ))
+            if "womd_rr_trajs" in out:  # reactive replay fed too (:569-582)
+                womd_rr_packed.append(pack_waymo_inputs(
+                    gt, np.asarray(out["womd_rr_trajs"]), np.asarray(out["womd_rr_scores"]),
+                    cfg.time_step_gt, cfg.time_step_current,
+                ))
         if wosac_official is not None and "scenario_bytes" in batch and "scenario_id" in batch:
             trajs = out["wosac_trajs"]
             if "scenario_center" in b:
@@ -508,14 +519,18 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
     if womd_official_ok and womd_packed:
         from trafficbotsv15_tpu.eval.womd_metrics import official_motion_metrics
 
-        packed = {k: np.concatenate([p[k] for p in womd_packed]) for k in womd_packed[0]}
-        # gather every rank's packed rows (collective — the lockstep loaders
-        # make womd_packed non-empty on all ranks together); the op runs once
-        # on rank 0 like the reference's aggregate_on_cpu (womd.py:114-174)
-        packed = _allgather_host_rows(packed)
-        if jax.process_index() == 0:
-            metrics.update(official_motion_metrics(packed, cfg.time_step_current,
-                                                   "joint_future_pred"))
+        for prefix, plist in (("joint_future_pred", womd_packed),
+                              ("reactive_replay", womd_rr_packed)):
+            if not plist:
+                continue
+            packed = {k: np.concatenate([p[k] for p in plist]) for k in plist[0]}
+            # gather every rank's packed rows (collective — the lockstep
+            # loaders make the lists non-empty on all ranks together); the op
+            # runs once on rank 0 like the reference's aggregate_on_cpu
+            # (womd.py:114-174)
+            packed = _allgather_host_rows(packed)
+            if jax.process_index() == 0:
+                metrics.update(official_motion_metrics(packed, cfg.time_step_current, prefix))
     for k, v in reduced["womd"].items():
         metrics[f"joint_future_pred/womd/{k}"] = float(v) / max(int(reduced["womd_cnt"]), 1)
     metrics.update(compute_error_metrics(err_sums, "reactive_replay"))
