@@ -181,6 +181,27 @@ def test_training_forward_and_step(setup):
     assert all(np.isfinite(losses))
 
 
+@pytest.mark.slow
+def test_remat_policy_names_kv_matches_names(setup):
+    """remat_policy is a memory/replay schedule, never math: gradients under
+    "names+kv" (save the projected K/V blocks too) must match "names"."""
+    import dataclasses
+
+    cfg, batch, model, params = setup
+    key = jax.random.PRNGKey(11)
+
+    grads = {}
+    for policy in ("names", "names+kv"):
+        c = dataclasses.replace(cfg, remat_policy=policy)
+        _, g = jax.value_and_grad(
+            lambda p: training_forward(c, model, p, batch, key)[0]
+        )(params)
+        grads[policy] = g
+    for a, b in zip(jax.tree_util.tree_leaves(grads["names"]),
+                    jax.tree_util.tree_leaves(grads["names+kv"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
 def test_wosac_collision_soa_matches_aos():
     """SoA fast path == composing the AoS reference helpers."""
     import numpy as np

@@ -366,6 +366,8 @@ class ExperimentCfg:
     # per-step tensors — KNN idx/rpe, sub-layer outputs, GRU hidden — so the
     # replay skips the top-k sort + dropout threefry + cross-layer chains;
     # +9% train throughput over "full" on v5e at the recipe batch),
+    # "names+kv" (also save the projected K/V blocks — the replay skips the
+    # largest per-step matmuls at [.., K, 2D] extra HBM per layer-step),
     # "full" (recompute everything, min memory), "dots" (save matmul outputs;
     # fails to compile on some backends), "none" (store everything)
     remat_policy: str = "names"

@@ -161,7 +161,9 @@ class AttentionRPE(nn.Module):
     def _rpe_kv_fullwidth(self, rpe):
         """rpe -> (rpe_k, rpe_v) kept full-width [..., d_model] (no head split)."""
         w_rpe, b_rpe = self._rpe_wb()
-        rpe_proj = rpe.astype(self.dtype) @ w_rpe.astype(self.dtype) + b_rpe.astype(self.dtype)
+        rpe_proj = checkpoint_name(
+            rpe.astype(self.dtype) @ w_rpe.astype(self.dtype) + b_rpe.astype(self.dtype),
+            "kv_proj")
         return jnp.split(rpe_proj, 2, axis=-1)
 
     def _kv_wb(self):
@@ -189,7 +191,7 @@ class AttentionRPE(nn.Module):
             b = beta @ w if b is None else b + beta @ w  # beta folds via the ORIGINAL W
             w = gamma[:, None] * w
         y = x.astype(self.dtype) @ w.astype(self.dtype)
-        return y if b is None else y + b.astype(self.dtype)
+        return checkpoint_name(y if b is None else y + b.astype(self.dtype), "kv_proj")
 
     def _project_kv_plus_rpe(self, tgt, rpe, ln=None, split_heads=True):
         """(k + rpe_k, v + rpe_v) as ONE matmul over concatenated features:
@@ -209,7 +211,9 @@ class AttentionRPE(nn.Module):
         cat = jnp.concatenate([tgt.astype(self.dtype), rpe.astype(self.dtype)], axis=-1)
         w = jnp.concatenate([wk, wr], axis=0).astype(self.dtype)
         b = br if bk is None else bk + br
-        y = cat @ w + b.astype(self.dtype)
+        # tagged for remat_policy="names+kv": saving the projected K/V lets the
+        # BPTT replay skip the largest per-step matmuls, at [.., K, 2D] HBM/step
+        y = checkpoint_name(cat @ w + b.astype(self.dtype), "kv_proj")
         k, v = jnp.split(y, 2, axis=-1)
         if not split_heads:
             return k, v  # full-width [.., K, d_model] halves

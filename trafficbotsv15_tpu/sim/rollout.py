@@ -439,6 +439,14 @@ def rollout(
             save_policy = jax.checkpoint_policies.save_only_these_names(
                 "knn_idx", "knn_invalid", "knn_rpe", "sublayer_out", "gru_hidden"
             )
+        elif policy == "names+kv":
+            # additionally save the projected K/V (+rpe) blocks — the replay
+            # then skips the largest per-step matmuls too, at
+            # [n_sc, n_ag, K, 2D] bf16 extra HBM per attention layer per step
+            save_policy = jax.checkpoint_policies.save_only_these_names(
+                "knn_idx", "knn_invalid", "knn_rpe", "sublayer_out", "gru_hidden",
+                "kv_proj",
+            )
         else:
             save_policy = None  # "full"
         body = jax.checkpoint(step_fn, prevent_cse=False, policy=save_policy)
