@@ -167,7 +167,10 @@ def test_submission(
             _check_post_cfg_shardable(cfg, mesh, k)
             b_sh, repl = batch_sharding(mesh), replicated(mesh)
             params = jax.tree_util.tree_map(lambda x: put_replicated(x, repl), params)
-            step_fn = jax.jit(step, in_shardings=(repl, b_sh, repl), out_shardings=repl)
+            from trafficbotsv15_tpu.ops.pallas_knn import scoped_for_mesh
+
+            step_fn = jax.jit(
+                scoped_for_mesh(step, mesh), in_shardings=(repl, b_sh, repl), out_shardings=repl)
         elif n_real != n_full:
             # uneven tail batch: pad (repeating the last scenario) up to the
             # compiled batch shape, run, and slice outputs back below — a
@@ -432,7 +435,10 @@ def validate(cfg: ExperimentCfg, val_loader, ckpt_dir: str = "ckpt", params=None
             _check_post_cfg_shardable(cfg, mesh, cfg.n_joint_future_wosac)
             b_sh, repl = batch_sharding(mesh), replicated(mesh)
             params = jax.tree_util.tree_map(lambda x: put_replicated(x, repl), params)
-            step_fn = jax.jit(step_raw, in_shardings=(repl, b_sh, repl), out_shardings=repl)
+            from trafficbotsv15_tpu.ops.pallas_knn import scoped_for_mesh
+
+            step_fn = jax.jit(
+                scoped_for_mesh(step_raw, mesh), in_shardings=(repl, b_sh, repl), out_shardings=repl)
         elif next(iter(b.values())).shape[0] % mesh.devices.size:
             continue  # uneven tail batch (DDP's DistributedSampler drops these too)
         out = step_fn(params, shard_batch(b, mesh), jax.random.PRNGKey(cfg.seed + i))

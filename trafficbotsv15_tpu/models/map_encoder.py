@@ -14,7 +14,7 @@ from trafficbotsv15_tpu.models.mlp import InputEncoder, PolylineEncoder
 from trafficbotsv15_tpu.models.tokens import MapTokens
 from trafficbotsv15_tpu.models.transformer import TransformerBlock
 from trafficbotsv15_tpu.ops.pose_emb import PoseEmbConfig, apply_pose_emb, pose_emb_out_dim
-from trafficbotsv15_tpu.ops.rpe import get_rel_dist, get_rel_pose, get_tgt_knn
+from trafficbotsv15_tpu.ops.rpe import get_rel_dist, get_rel_pose, get_tgt_knn, get_tgt_knn_lazy
 from trafficbotsv15_tpu.ops.transform import pos2local, rad2local, rad2rot
 
 
@@ -82,11 +82,22 @@ class MapEncoder(nn.Module):
             name="pl_encoder",
         )(feat, mp_invalid, deterministic=deterministic)
 
-        if self.pairwise_relative:
+        import os
+
+        if self.pairwise_relative and os.environ.get("TB_MP2MP_LAZY", "0") == "1":
+            # lazy variant: skip materializing the [n_mp, n_mp, 3] rel_pose
+            # (SE(2) math on the K winners only) and pick up the fused Pallas
+            # KNN at production map sizes. Equivalent to the eager pair up to
+            # distance-tie ordering — A/B flag until measured on-chip.
+            knn_idx, knn_invalid, rpe = get_tgt_knn_lazy(
+                mp_token_pose, mp_token_invalid, mp_token_pose, mp_token_invalid,
+                self.n_tgt_knn, self.dist_limit)
+        elif self.pairwise_relative:
             rel_pose, rel_dist = get_rel_pose(mp_token_pose, mp_token_invalid)
+            knn_idx, knn_invalid, rpe = get_tgt_knn(mp_token_invalid, rel_pose, rel_dist, self.n_tgt_knn, self.dist_limit)
         else:
-            rel_pose, rel_dist = None, get_rel_dist(mp_token_pose[..., :2], mp_token_invalid)
-        knn_idx, knn_invalid, rpe = get_tgt_knn(mp_token_invalid, rel_pose, rel_dist, self.n_tgt_knn, self.dist_limit)
+            rel_dist = get_rel_dist(mp_token_pose[..., :2], mp_token_invalid)
+            knn_idx, knn_invalid, rpe = get_tgt_knn(mp_token_invalid, None, rel_dist, self.n_tgt_knn, self.dist_limit)
         if self.pairwise_relative:
             rpe = apply_pose_emb(self.pose_rpe, rpe[..., :2], rpe[..., 2:3])
 

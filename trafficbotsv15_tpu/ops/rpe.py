@@ -198,10 +198,55 @@ def get_tgt_knn_lazy(
     src_xy, src_yaw = src_pose[..., :2], src_pose[..., 2]
     tgt_xy = tgt_pose[..., :2]
 
-    rel_dist = jnp.linalg.norm(src_xy[:, :, None, :] - tgt_xy[:, None, :, :], axis=-1)
-    rel_dist = jnp.where(src_invalid[:, :, None] | tgt_invalid[:, None, :], _INF, rel_dist)
+    from trafficbotsv15_tpu.ops.pallas_knn import knn_xy_pallas, pallas_knn_wanted
 
-    dist_knn, idx_tgt = _knn_select(rel_dist, n_tgt_knn)
+    if pallas_knn_wanted(src_xy.shape[1], tgt_xy.shape[1]):
+        # fused Pallas distance+top-k: the [n_src, n_tgt] distance tile stays
+        # in VMEM (never HBM) and the k smallest are extracted without the
+        # full variadic sort. Stable-sort selection semantics; distances may
+        # differ from the XLA lowering by 1 ULP (FMA) — see ops.pallas_knn.
+        def _xla_knn(sxy, sinv, txy, tinv):
+            rd = jnp.linalg.norm(sxy[:, :, None, :] - txy[:, None, :, :], axis=-1)
+            rd = jnp.where(sinv[:, :, None] | tinv[:, None, :], _INF, rd)
+            d, i = _knn_select(rd, n_tgt_knn)  # approx_min_k yields a LIST
+            return d, i
+
+        def _tpu_knn(sxy, sinv, txy, tinv):
+            from trafficbotsv15_tpu.ops.pallas_knn import active_mesh
+            from trafficbotsv15_tpu.parallel.mesh import DATA_AXIS
+
+            mesh = active_mesh()
+            if (mesh is not None and mesh.size > 1
+                    and sxy.shape[0] % mesh.shape[DATA_AXIS] != 0):
+                return _xla_knn(sxy, sinv, txy, tinv)  # unshardable rows
+            if mesh is not None and mesh.size > 1:
+                # GSPMD replicates opaque custom calls — shard_map the kernel
+                # over the data axis so each device selects for its own rows
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                spec = P(DATA_AXIS)
+                d, i = shard_map(
+                    lambda a, b, c, e: knn_xy_pallas(a, b, c, e, n_tgt_knn),
+                    mesh=mesh,
+                    in_specs=(spec, spec, spec, spec),
+                    out_specs=(spec, spec),
+                    check_rep=False,
+                )(sxy, sinv, txy, tinv)
+                return d, i
+            d, i = knn_xy_pallas(sxy, sinv, txy, tinv, n_tgt_knn)
+            return d, i
+
+        dist_knn, idx_tgt = jax.lax.platform_dependent(
+            src_xy, src_invalid, tgt_xy, tgt_invalid,
+            tpu=_tpu_knn,
+            default=_xla_knn,
+        )
+    else:
+        rel_dist = jnp.linalg.norm(src_xy[:, :, None, :] - tgt_xy[:, None, :, :], axis=-1)
+        rel_dist = jnp.where(src_invalid[:, :, None] | tgt_invalid[:, None, :], _INF, rel_dist)
+
+        dist_knn, idx_tgt = _knn_select(rel_dist, n_tgt_knn)
     # invalid pairs carry dist=inf, so validity falls out of the top-k values
     tgt_invalid_knn = dist_knn > dist_limit
 

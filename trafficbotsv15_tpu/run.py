@@ -200,16 +200,21 @@ def fit(cfg: ExperimentCfg, train_loader, val_loader, ckpt_dir: str = "ckpt",
 
     # epoch is a traced scalar (teacher-forcing schedules are traceable in it)
     # so epoch changes do NOT trigger a recompile
+    # scoped_for_mesh: the Pallas KNN kernel inside the step shard_maps over
+    # the mesh's data axis instead of being GSPMD-replicated (ops.pallas_knn)
+    from trafficbotsv15_tpu.ops.pallas_knn import scoped_for_mesh
+
     if cfg.parallel.strategy == "dp":
         train_step = jax.jit(
-            make_train_step(cfg, model, opt),
+            scoped_for_mesh(make_train_step(cfg, model, opt), mesh),
             in_shardings=(repl, repl, b_sh, repl, repl), out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
         )
     else:
         # shardings inferred from the placed params/opt_state; only the batch
         # is pinned to the data axis
-        train_step = jax.jit(make_train_step(cfg, model, opt), donate_argnums=(0, 1))
+        train_step = jax.jit(
+            scoped_for_mesh(make_train_step(cfg, model, opt), mesh), donate_argnums=(0, 1))
     key = jax.random.PRNGKey(cfg.seed + 1)
     if start_step:
         # a fresh stream for the continuation: deterministic given (seed, step),
