@@ -27,8 +27,9 @@ import jax
 
 # persistent compilation cache: the flagship rollout graph is large and the
 # axon remote compiler is slow; cache hits make repeated bench runs start fast
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser(f"~/.cache/jax_tb_tpu_{__import__('platform').node()}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from trafficbotsv15_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache(jax)
 
 if os.environ.get("BENCH_RBG") == "1":
     # cheap TPU-native PRNG for dropout/sampling (threefry replay under full
@@ -94,6 +95,32 @@ def _expand_batch(batch, k: int):
     }
 
 
+def _flops_cache(key: str, compute):
+    """Disk-memoize analytic flop counts (~/.cache/jax_tb_flops.json). The
+    counts are pure functions of config + abstract shapes, but the CPU
+    lowering that produces them takes minutes on small hosts — cache them so
+    only the first bench run per (config, shapes) pays."""
+    path = os.path.expanduser("~/.cache/jax_tb_flops.json")
+    try:
+        with open(path) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        cache = {}
+    if key in cache:
+        return float(cache[key])
+    val = compute()
+    if val > 0:
+        cache[key] = val
+        try:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(cache, f)
+            os.replace(tmp, path)
+        except OSError:
+            pass
+    return val
+
+
 def _rollout_flops(cfg, model, params, batch, n_future: int, n_steps: int) -> float:
     """Analytic FLOPs of one closed-loop rollout call: one-time scene encoders
     at the scenario batch + n_steps x the per-step policy at the K-expanded
@@ -101,6 +128,16 @@ def _rollout_flops(cfg, model, params, batch, n_future: int, n_steps: int) -> fl
     checks are excluded — a few % — so MFU reported from this is a floor)."""
     if os.environ.get("BENCH_MFU") == "0":  # skip the ~minutes of CPU lowering
         return 0.0
+    import dataclasses as _dc
+    import hashlib as _hl
+
+    shapes = sorted((k, tuple(v.shape), str(v.dtype)) for k, v in batch.items())
+    key = _hl.md5(repr((_dc.asdict(cfg), shapes, n_future, n_steps)).encode()).hexdigest()
+    return _flops_cache(key, lambda: _rollout_flops_uncached(
+        cfg, model, params, batch, n_future, n_steps))
+
+
+def _rollout_flops_uncached(cfg, model, params, batch, n_future: int, n_steps: int) -> float:
     from trafficbotsv15_tpu.data.preprocessing import pre_processing
 
     W = cfg.model.temp_window_size

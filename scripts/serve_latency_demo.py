@@ -10,7 +10,9 @@ sys.path.append(str(Path(__file__).resolve().parents[1]))
 if os.environ.get("JAX_PLATFORMS") in ("axon", "tpu"):
     os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
 import jax
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser(f"~/.cache/jax_tb_tpu_{__import__('platform').node()}"))
+from trafficbotsv15_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache(jax)
 import jax.numpy as jnp
 from trafficbotsv15_tpu.config import leaderboard_config
 from trafficbotsv15_tpu.data.synthetic import make_batch

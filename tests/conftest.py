@@ -16,8 +16,6 @@ jax.config.update("jax_enable_x64", False)
 # persistent compilation cache: identical HLO across tests (reactive replay,
 # validate runner, eval fixtures share the tiny config) compiles once per
 # machine instead of once per test; warm reruns of the suite start in seconds
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/jax_tb_tests"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from trafficbotsv15_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache(jax, prefix="jax_tb_tests")

@@ -1,0 +1,43 @@
+"""Persistent-compilation-cache setup shared by every entry point.
+
+The cache key must identify the MACHINE, not just the hostname: these images
+all report the same generic node name ("vm") while the home volume migrates
+across physical hosts with different CPUs. A cache dir keyed on the hostname
+alone then serves XLA:CPU AOT executables compiled for another machine's
+vector ISA — XLA loads them with a "could lead to execution errors such as
+SIGILL" warning and may crash. Appending a CPU-signature tag makes each
+machine populate its own directory (TPU executables are re-cached too; one
+cold compile per machine is the price of never SIGILLing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+
+
+def cache_dir(prefix: str = "jax_tb_tpu") -> str:
+    """Per-(hostname, CPU-model) cache directory path."""
+    cpu = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    tag = hashlib.md5(cpu.encode()).hexdigest()[:8]
+    return os.path.expanduser(f"~/.cache/{prefix}_{platform.node()}_{tag}")
+
+
+def enable(jax_module, prefix: str = "jax_tb_tpu", min_compile_secs: float = 1.0) -> str:
+    """Point jax's persistent compilation cache at the per-machine dir.
+
+    Takes the caller's already-imported jax module so this helper never
+    imports jax itself (entry points configure the platform env first)."""
+    d = cache_dir(prefix)
+    jax_module.config.update("jax_compilation_cache_dir", d)
+    jax_module.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    return d
