@@ -11,7 +11,9 @@ from trafficbotsv15_tpu.models.transformer import AttentionRPE, standardize
 
 def test_standardize_matches_flax_layernorm():
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 7, 32))
-    ln = nn.LayerNorm(use_scale=False, use_bias=False)
+    # epsilon pinned to 1e-5: the model stack matches torch's LayerNorm eps
+    # (see models/transformer.py::standardize), not flax's 1e-6 default
+    ln = nn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-5)
     ref = ln.apply({"params": {}}, x)
     np.testing.assert_allclose(np.asarray(standardize(x)), np.asarray(ref), atol=1e-5)
 

@@ -46,7 +46,7 @@ class MLP(nn.Module):
             x = nn.Dense(dim, dtype=self.dtype, bias_init=bias_init, name=f"fc{i}")(x)
             if (not is_last) or self.end_layer_activation:
                 if self.use_layernorm:
-                    x = nn.LayerNorm(dtype=self.dtype, name=f"ln{i}")(x)
+                    x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ln{i}")(x)
                 x = act(x)
             if self.dropout_p > 0:
                 x = nn.Dropout(self.dropout_p, deterministic=deterministic, name=f"drop{i}")(x)

@@ -26,8 +26,14 @@ from trafficbotsv15_tpu.ops.rpe import gather_tgt
 _xavier = nn.initializers.xavier_uniform()
 
 
-def standardize(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+def standardize(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """LayerNorm without scale/bias (flax numerics: stats in fp32).
+
+    eps defaults to 1e-5 — torch's nn.LayerNorm default, NOT flax's 1e-6 —
+    so the stack is numerically parity-exact with the reference (the 1e-6 vs
+    1e-5 gap compounds to ~2e-3 through 8 pre-LN residual layers; caught by
+    tests/test_model_parity.py). Every nn.LayerNorm in models/ pins
+    epsilon=1e-5 for the same reason.
 
     Per-layer LayerNorms of a shared target tensor differ only by their
     scale/bias, which fold into the downstream projection weights
@@ -540,7 +546,7 @@ class TransformerLayer(nn.Module):
             return cross_kv, dec_rpe_kv
 
         if self.mode == "dec_cross_attn":
-            norm_src = nn.LayerNorm(dtype=self.dtype, name="norm_src")
+            norm_src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_src")
             s = norm_src(src)
             d_tgt = decoder_tgt
             d_mask = decoder_tgt_padding_mask
@@ -558,7 +564,7 @@ class TransformerLayer(nn.Module):
                 s = drop("drop_src")(s)
             src = src + checkpoint_name(s, "sublayer_out")
 
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
         src2 = norm1(src)
         t, t_ln = tgt, None
         if cross_kv_static is not None:
@@ -576,7 +582,7 @@ class TransformerLayer(nn.Module):
                     t = standardize(t)
                 t_ln = self._norm_tgt_params()
             else:
-                t = nn.LayerNorm(dtype=self.dtype, name="norm_tgt")(t)
+                t = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_tgt")(t)
         src2 = AttentionRPE(**attn_kw, name="attn")(
             src2, t, tgt_padding_mask=tgt_padding_mask, rpe=rpe, deterministic=deterministic,
             kv_static=cross_kv_static, tgt_idx=tgt_idx, tgt_ln=t_ln,
@@ -585,7 +591,7 @@ class TransformerLayer(nn.Module):
             src2 = drop("drop1")(src2)
         src = src + checkpoint_name(src2, "sublayer_out")
 
-        src2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        src2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
         src2 = act(nn.Dense(self.k_feedforward * self.d_model, use_bias=self.bias, dtype=self.dtype, name="ffn1")(src2))
         if self.dropout_p > 0:
             src2 = drop("drop_ffn")(src2)
@@ -696,5 +702,5 @@ class TransformerBlock(nn.Module):
                 tgt_standardized=tgt_standardized,
             )
         if self.out_layernorm:
-            src = nn.LayerNorm(dtype=self.dtype, name="out_ln")(src)
+            src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_ln")(src)
         return src
