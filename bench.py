@@ -252,6 +252,9 @@ def main():
         cfg = scaled_config()
     else:
         cfg = leaderboard_config()
+    from trafficbotsv15_tpu.ops import flags as _flags
+
+    _flags.configure(cfg.ops)  # env TB_* overrides still win (ops/flags.py)
     import dataclasses
 
     if os.environ.get("BENCH_REMAT"):  # full | dots | names | none

@@ -11,6 +11,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+from trafficbotsv15_tpu.ops.flags import OpsCfg
+
 
 def _d(factory):
     return dataclasses.field(default_factory=factory)
@@ -336,6 +338,9 @@ class ExperimentCfg:
     parallel: ParallelCfg = _d(ParallelCfg)
     womd_post: WOMDPostCfg = _d(WOMDPostCfg)
     wosac_post: WOSACPostCfg = _d(WOSACPostCfg)
+    # implementation-selection flags (ops/flags.py holds the evidence table);
+    # run.py/bench.py install these via flags.configure, env TB_* overrides win
+    ops: OpsCfg = _d(OpsCfg)
 
     batch_size_train: int = 2
     # the reference uses 6/GPU (h5_womd.yaml) for 24 GB 4090s; on v5e the

@@ -82,9 +82,9 @@ class MapEncoder(nn.Module):
             name="pl_encoder",
         )(feat, mp_invalid, deterministic=deterministic)
 
-        import os
+        from trafficbotsv15_tpu.ops import flags
 
-        if self.pairwise_relative and os.environ.get("TB_MP2MP_LAZY", "0") == "1":
+        if self.pairwise_relative and flags.get().mp2mp_lazy:
             # lazy variant: skip materializing the [n_mp, n_mp, 3] rel_pose
             # (SE(2) math on the K winners only) and pick up the fused Pallas
             # KNN at production map sizes. Equivalent to the eager pair up to

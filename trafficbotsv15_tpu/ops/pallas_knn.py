@@ -219,8 +219,8 @@ def pallas_knn_wanted(n_src: int, n_tgt: int) -> bool:
     n_tgt must be a multiple of 128. The actual TPU-vs-other dispatch is
     lax.platform_dependent at the call site (ops.rpe.get_tgt_knn_lazy).
     """
-    import os
+    from trafficbotsv15_tpu.ops import flags
 
-    if os.environ.get("TB_KNN_PALLAS", "1") != "1":
+    if not flags.get().knn_pallas:
         return False
     return n_tgt >= 512 and n_tgt % 128 == 0 and n_src % 8 == 0

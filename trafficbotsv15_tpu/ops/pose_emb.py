@@ -148,11 +148,11 @@ def pose_embed_pe_xy_dir(
     select needs BOTH sin and cos over all pe_dim slots, doubling the
     transcendental work the stacked form does on the half-width angle
     tensor. Kept for shapes where layout (not VPU) dominates."""
-    import os
+    from trafficbotsv15_tpu.ops import flags
 
     direction = _as_cos_sin(direction)
     q = jnp.concatenate([xy, direction], axis=-1).astype(jnp.float32)  # [..., 4]
-    if os.environ.get("TB_POSE_EMB_FLAT", "0") != "1":
+    if not flags.get().pose_emb_flat:
         quarter = pe_dim // 4
         half = quarter // 2
         exponents = jnp.arange(0, quarter, 2, dtype=jnp.float32)[:half] / quarter
@@ -206,11 +206,11 @@ def pose_embed_pe_xy_yaw(xy: jnp.ndarray, direction: jnp.ndarray, pe_dim: int, t
     the flat [..., pe_dim] formulation — bit-identical but measured slower
     (see :func:`pose_embed_pe_xy_dir`); this is the default rollout rpe
     mode, so it IS the in-scan hot path the A/B measured."""
-    import os
+    from trafficbotsv15_tpu.ops import flags
 
     yaw = _as_yaw(direction)
     quarter = pe_dim // 4
-    if os.environ.get("TB_POSE_EMB_FLAT", "0") != "1":
+    if not flags.get().pose_emb_flat:
         return jnp.concatenate(
             [
                 sinusoid_embed(xy[..., 0], quarter, theta_xy),

@@ -30,11 +30,12 @@ def _knn_select(rel_dist: jnp.ndarray, k: int):
     an agent may rarely see its ~65th-nearest polyline instead of the 64th;
     measure before enabling for submissions.
     """
-    import os
+    from trafficbotsv15_tpu.ops import flags
 
-    if os.environ.get("TB_APPROX_KNN", "0") == "1":
+    fl = flags.get()
+    if fl.approx_knn:
         return jax.lax.approx_min_k(rel_dist, k, recall_target=0.99, aggregate_to_topk=True)
-    if os.environ.get("TB_KNN_IMPL", "partial") == "partial":
+    if fl.knn_impl == "partial":
         # EXACT-set top-k through the TPU ApproxTopK custom call (the
         # DEFAULT): at recall_target=1.0 XLA performs NO partial reduction
         # (reduction output size == input size), so this returns exactly the
@@ -46,8 +47,7 @@ def _knn_select(rel_dist: jnp.ndarray, k: int):
         return jax.lax.approx_min_k(rel_dist, k, recall_target=1.0, aggregate_to_topk=True)
     n = rel_dist.shape[-1]
     chunk = 128
-    if (os.environ.get("TB_TWO_STAGE_KNN", "0") == "1"
-            and n > 2 * chunk and n % chunk == 0 and k <= chunk):
+    if fl.two_stage_knn and n > 2 * chunk and n % chunk == 0 and k <= chunk:
         # EXACT two-stage top-k: per-128-chunk top-k, then top-k of the
         # g*k candidates (bit-exact incl. tie order, tested). Kept for the
         # record: measured a large REGRESSION on v5e (143.6k vs 273.3k at
@@ -290,7 +290,7 @@ def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
     Returns:
         [n_sc, n_src, K, d]
 
-    Inside onehot_gather_scope (or with TB_GATHER_ONEHOT=1) the one-hot
+    Inside onehot_gather_scope the one-hot
     matmul variant is used (scatter-free backward) — including for the
     narrow [.., 3] rel-pose gather: although the one-hot matmul does ~40x
     the arithmetic of a row gather at width 3, routing the pose gather
@@ -300,10 +300,10 @@ def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
     one-hot cost. TB_NARROW_GATHER_NATIVE=1 re-enables that routing for
     future A/Bs (e.g. if the scan body shrinks).
     """
-    import os
+    if _ONEHOT_GATHER_SCOPE[0]:
+        from trafficbotsv15_tpu.ops import flags
 
-    if _ONEHOT_GATHER_SCOPE[0] or os.environ.get("TB_GATHER_ONEHOT") == "1":
-        if feature.shape[-1] > 8 or os.environ.get("TB_NARROW_GATHER_NATIVE", "0") != "1":
+        if feature.shape[-1] > 8 or not flags.get().narrow_gather_native:
             return gather_tgt_onehot(feature, idx_tgt)
     n_sc, n_src, k = idx_tgt.shape
     flat = idx_tgt.reshape(n_sc, n_src * k)

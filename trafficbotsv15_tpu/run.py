@@ -405,6 +405,10 @@ def main(argv=None):
         if last_json.exists():
             cfg = config_from_dict(json.loads(last_json.read_text())["config"])
     cfg = apply_overrides(cfg, overrides)
+    from trafficbotsv15_tpu.ops import flags as _flags
+
+    _flags.configure(cfg.ops)  # env TB_* overrides still win (ops/flags.py)
+
     if action == "test" and "batch_size_test" not in raw_overrides:
         # submission workload: K=128 futures of ONE scenario share all its
         # static map/KNN work — measured optimum is batch 1 (314k vs 240k

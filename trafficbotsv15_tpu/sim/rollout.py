@@ -247,19 +247,15 @@ def rollout(
         hist_tl = jnp.concatenate([c.hist_tl_state[:, :, 1:], sg(c.tl_state)[:, :, None]], axis=2)
         hist_step_invalid = jnp.concatenate([c.hist_step_invalid[1:], jnp.zeros((1,), bool)])
 
-        import os
-
+        from trafficbotsv15_tpu.ops import flags
         from trafficbotsv15_tpu.ops.rpe import onehot_gather_scope
 
         # one-hot matmul gathers in the rollout scan for BOTH train and eval:
         # training avoids the backward scatter-add; in eval the native gather
         # runs ~30 GB/s inside the big scan body while the one-hot rides the
         # MXU (A/B on v5e: 127.8k -> 141.0k agent-steps/s, docs/PERF.md).
-        # TB_ONEHOT_GATHER=0 disables it everywhere (the old name
-        # TB_TRAIN_ONEHOT_GATHER is honored for back-compat).
-        _onehot = os.environ.get(
-            "TB_ONEHOT_GATHER", os.environ.get("TB_TRAIN_ONEHOT_GATHER", "1")
-        ) == "1"
+        # flags.onehot_gather / TB_ONEHOT_GATHER=0 disables it everywhere.
+        _onehot = flags.get().onehot_gather
         rngs = {"dropout": k_drop} if train else None
         with onehot_gather_scope(_onehot):
             action_dist, tl_logits, rnn_hidden, tl_rnn_hidden = model.apply(
