@@ -59,12 +59,23 @@ def main() -> int:
     from etl_parity_common import make_raw, run_pipeline  # noqa: E402
 
     out = {}
-    for seed in range(5):
-        for dataset in ("training", "validation"):
+    for seed in range(50):
+        for dataset in ("training", "validation", "testing"):
             raw = make_raw(seed)
             reduced = run_pipeline(ref_pack, raw, dataset, is_ref=True, seed=seed)
             for k, v in reduced.items():
                 out[f"{seed}|{dataset}|{k}"] = np.asarray(v)
+    # function-level goldens: polygon -> polylines helper (pack_h5.py:822-849),
+    # used by the CLI collate for speed bumps / driveways / crosswalks
+    rng = np.random.default_rng(7)
+    for p in range(4):
+        quad = np.cumsum(rng.uniform(1.0, 8.0, (4, 3)), axis=0)
+        quad[:, 2] = 0.0
+        pls = ref_pack.get_polylines_from_polygon(quad)
+        out[f"polygon|{p}|in"] = quad
+        for j, pl in enumerate(pls):
+            out[f"polygon|{p}|out{j}"] = np.asarray(pl)
+
     dest = REPO / "tests/golden/etl_parity_golden.npz"
     dest.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(dest, **out)

@@ -28,7 +28,38 @@ STEP_CURRENT = 10
 DIST_THRESH_MP, DIST_THRESH_AG = 200.0, 100.0
 
 
+# Adversarial topology variants (VERDICT r3 weak #5): real WOMD has scenarios
+# with no road edges near the goal (pack_h5.py:868-930 dest extension), empty
+# TL sets, fewer agents than n_ag_h5_sim, single-polyline maps, long validity
+# gaps, parked/still fleets, far-away maps (with_map=False boundary path) and
+# big z-spreads (thresh_z filter). Seeds 0-4 keep the original generator;
+# seeds >= 5 cycle through these stressors so every filter/dest/interp branch
+# is hit by at least one golden.
+VARIANTS = (
+    "base", "no_road_edge", "no_tl", "few_agents", "single_pl", "sparse_valid",
+    "far_map", "still_agents", "yaw_jump", "dense", "z_spread", "late_spawn",
+    # aug: random recenter augmentation (rand_pos/rand_yaw draws aligned);
+    # uturn: u-turn trajectories hitting both cmd-taxonomy u-turn classes;
+    # on_lane_goal: goals ON aligned veh lanes -> dest topology-walk extension;
+    # degenerate_pl: 1-point polyline (consumes a slot with all-invalid nodes)
+    "aug", "uturn", "on_lane_goal", "degenerate_pl",
+)
+
+
+def variant_for_seed(seed: int) -> str:
+    return "base" if seed < 5 else VARIANTS[(seed - 5) % len(VARIANTS)]
+
+
 def make_raw(seed: int, n_pl: int = 60, n_ag: int = 12, n_step: int = 91):
+    variant = variant_for_seed(seed)
+    if variant == "few_agents":
+        n_ag = 3  # fewer than N_AG_H5_SIM=8: the sim set pads, no down-select
+    elif variant == "single_pl":
+        n_pl = 1
+    elif variant == "dense":
+        # over every budget: strong down-selection (n_ag capped so the no-sim
+        # remainder fits N_AG_H5_NO_SIM, the packers' hard contract)
+        n_pl, n_ag = 200, 24
     rng = np.random.default_rng(seed)
     mp_id, mp_xyz, mp_type = [], [], []
     for i in range(n_pl):
@@ -36,7 +67,12 @@ def make_raw(seed: int, n_pl: int = 60, n_ag: int = 12, n_step: int = 91):
         # so dest-finding always has road edges after the map reduction
         near = i < 12
         start = rng.uniform(-40, 40, 3) if near else rng.uniform(-150, 150, 3)
+        if variant == "far_map" and not near:
+            # all but the near dozen beyond DIST_THRESH_MP: heavy map reduction
+            start = rng.uniform(300, 600, 3) * rng.choice([-1.0, 1.0], 3)
         start[2] = rng.uniform(-1, 1)
+        if variant == "z_spread" and not near:
+            start[2] = rng.uniform(-30, 30)  # exercises the thresh_z=6 filter
         heading = rng.uniform(-np.pi, np.pi)
         n_pts = int(rng.integers(5, 60))
         step_v = rng.uniform(1.0, 3.0)
@@ -47,34 +83,104 @@ def make_raw(seed: int, n_pl: int = 60, n_ag: int = 12, n_step: int = 91):
         mp_id.append(i)
         mp_xyz.append([list(p) for p in pts])
         # bias toward lane/road-edge types (0-4) so dest-finding always has
-        # road-edge polylines (map/type dim 4) after the map reduction
-        mp_type.append(4 if near else (int(i % 5) if i < n_pl // 2 else int(i % N_MP_TYPE)))
+        # road-edge polylines (map/type dim 4) after the map reduction.
+        # no_road_edge: NO lanes and only two road edges, both far from every
+        # goal — every agent takes the far-road-edge fallback of _find_dest
+        # (pack_h5.py:919; the reference crashes on literally zero road edges,
+        # so that input is out-of-contract for both packers)
+        if variant == "no_road_edge":
+            mp_type.append(4 if i < 2 else int(5 + i % (N_MP_TYPE - 5)))
+        else:
+            mp_type.append(4 if near else (int(i % 5) if i < n_pl // 2 else int(i % N_MP_TYPE)))
     mp_edge = [[i, (i + 1) % n_pl] for i in range(n_pl)] + [[i, (i + 3) % n_pl] for i in range(0, n_pl, 5)]
+    if variant == "single_pl":
+        mp_edge = [[0, 0]]
 
     ag_id, ag_type, ag_state, ag_role = [], [], [], []
     for a in range(n_ag):
         ag_id.append(100 + a)
-        ag_type.append(int(rng.integers(0, 3)))
+        # on_lane_goal needs vehicles (the lane-association branch is veh-only)
+        ag_type.append(0 if variant == "on_lane_goal" else int(rng.integers(0, 3)))
         ag_role.append([a == 0, a == 2, a in (0, 1)])
         pos = rng.uniform(-60, 60, 2)
         yaw = rng.uniform(-np.pi, np.pi)
         spd = rng.uniform(0, 12)
-        t0 = 0 if a < n_ag - 3 else int(rng.integers(5, 30))
+        if variant == "still_agents" and a != 0:
+            spd = 0.0  # parked fleet: still/parked-vehicle filters
+        # the SDC is always valid from t=0 (true of every real WOMD scenario;
+        # an SDC invisible through history is out-of-contract for the packers)
+        t0 = 0 if (a == 0 or a < n_ag - 3) else int(rng.integers(5, 30))
         t1 = n_step if a != n_ag - 1 else 60
         gap = (40, 45) if a == 1 else None  # validity hole -> interpolation path
+        if variant == "sparse_valid" and a % 2 == 1:
+            # long multi-gap validity: interpolation over wide holes + the
+            # not-seen-in-history / short-track filters
+            gap = (12, 70)
+            t0 = 5
+        if variant == "late_spawn" and a != 0:
+            t0 = STEP_CURRENT + 1 + (a % 20)  # never valid in history
         states = []
         for t in range(n_step):
             valid = (t0 <= t < t1) and not (gap and gap[0] <= t < gap[1])
+            if variant == "sparse_valid" and a % 3 == 2:
+                valid = valid and (t % 7 != 3)  # scattered holes
             vx, vy = spd * np.cos(yaw), spd * np.sin(yaw)
             states.append([pos[0], pos[1], 0.0, 4.5, 2.0, 1.5, yaw, vx, vy, float(valid)])
             pos = pos + np.array([vx, vy]) * 0.1
-            yaw += float(rng.uniform(-0.02, 0.02))
-            spd = max(0.0, spd + float(rng.uniform(-0.2, 0.2)))
+            jump = np.pi if (variant == "yaw_jump" and a % 4 == 1 and t == 50) else 0.0
+            yaw += float(rng.uniform(-0.02, 0.02)) + jump  # outlier yaw-jump filter
+            if variant == "uturn" and a in (2, 5) and 30 <= t < 60:
+                # smooth clockwise u-turn: cmd classes 6 (wide, drives back:
+                # dx << -5) and 7 (tight, stays near the turn: dx >= -5)
+                yaw -= np.pi / 30
+            if variant == "uturn" and a == 5 and t >= 60:
+                spd = 0.0
+            elif variant != "still_agents" or a == 0:
+                spd = max(0.0, spd + float(rng.uniform(-0.2, 0.2)))
         ag_state.append(states)
+    if variant == "uturn":
+        # pin the turners' speed so the u-turn geometry is deterministic
+        for a, v0 in ((2, 8.0), (5, 1.8)):
+            pos = np.array(ag_state[a][0][:2])
+            yaw = ag_state[a][0][6]
+            spd = v0
+            for t in range(n_step):
+                if 30 <= t < 60:
+                    yaw -= np.pi / 30
+                if a == 5 and t >= 60:
+                    spd = 0.0
+                vx, vy = spd * np.cos(yaw), spd * np.sin(yaw)
+                ag_state[a][t][:2] = [pos[0], pos[1]]
+                ag_state[a][t][6:9] = [yaw, vx, vy]
+                pos = pos + np.array([vx, vy]) * 0.1
+
+    if variant == "on_lane_goal":
+        # veh lanes THROUGH each agent's goal, aligned with its final heading:
+        # dest-finding takes the lane-association branch and the random map-
+        # topology extension walk (pack_h5.py:896-917). Each goal lane chains
+        # to a continuation lane (edge id -> id+1) and the chain ends with an
+        # id -> -1 edge, covering the walk's both stop conditions.
+        for a in range(min(6, n_ag)):
+            states = np.asarray(ag_state[a])
+            last = int(np.nonzero(states[:, 9] > 0)[0][-1])
+            gp, gyaw = states[last, :2], states[last, 6]
+            u = np.array([np.cos(gyaw), np.sin(gyaw)])
+            base_id = 1000 + 2 * a
+            for j, (lo, hi) in enumerate(((-10, 30), (30, 70))):
+                pts = [list(gp + u * s) + [0.0] for s in range(lo, hi, 2)]
+                mp_id.append(base_id + j)
+                mp_xyz.append([[p[0], p[1], 0.0] for p in pts])
+                mp_type.append(0)  # veh lane
+            mp_edge.append([base_id, base_id + 1])
+            mp_edge.append([base_id + 1, -1])
+    if variant == "degenerate_pl":
+        mp_id.append(999)
+        mp_xyz.append([[5.0, 5.0, 0.0]])  # 1-point polyline: empty slot path
+        mp_type.append(1)
 
     tl_lane_state, tl_lane_id, tl_stop_point = [], [], []
     for t in range(n_step):
-        n_tl = 3 if t < 50 else 2  # a light disappears mid-episode
+        n_tl = 0 if variant == "no_tl" else (3 if t < 50 else 2)  # a light disappears mid-episode
         tl_lane_state.append([int((t // 10 + j) % N_TL_STATE) for j in range(n_tl)])
         tl_lane_id.append([3 + j for j in range(n_tl)])
         tl_stop_point.append([[1.0 * j, 2.0 + j, 0.0] for j in range(n_tl)])
@@ -102,10 +208,15 @@ def run_pipeline(mod, raw, dataset: str = "training", is_ref: bool = False, seed
     mod.pack_episode_agents(
         episode, STEP_CURRENT, raw["ag_id"], raw["ag_type"], raw["ag_state"], raw["ag_role"],
         pack_all, pack_history, N_AG_DATA, 3)
+    # aug variant: the CLI's --rand_pos/--rand_yaw recentring augmentation.
+    # Draw alignment: the reference draws np.random.uniform twice + once
+    # (pack_h5.py:263-267); ours draws uniform(size=2) + one — the legacy
+    # RandomState consumes the same underlying stream either way.
+    rand_pos, rand_yaw = (50.0, 3.14) if variant_for_seed(seed) == "aug" else (-1.0, -1.0)
     if is_ref:
-        center, yaw = mod.center_at_sdc(episode, STEP_CURRENT, -1, -1)
+        center, yaw = mod.center_at_sdc(episode, STEP_CURRENT, rand_pos, rand_yaw)
     else:
-        center, yaw = mod.center_at_sdc(episode, STEP_CURRENT, -1, -1, np.random)
+        center, yaw = mod.center_at_sdc(episode, STEP_CURRENT, rand_pos, rand_yaw, np.random)
 
     reduced = {}
     mod.filter_episode_map(episode, STEP_CURRENT, N_MP_H5, DIST_THRESH_MP, thresh_z=6)
@@ -125,6 +236,23 @@ def run_pipeline(mod, raw, dataset: str = "training", is_ref: bool = False, seed
         _repack(mod, is_ref, episode, reduced, mask_sim)
         mod.repack_episode_agents(episode, reduced, mask_sim, N_AG_H5_SIM, prefix="history/")
         mod.repack_episode_agents_no_sim(episode, reduced, mask_no_sim, N_AG_H5_NO_SIM, "")
+        mod.repack_episode_agents_no_sim(episode, reduced, mask_no_sim, N_AG_H5_NO_SIM, "history/")
+    elif "testing" in dataset:
+        # the CLI's waymo-test path (pack_h5_womd.py:297-319): history-only
+        # schema; without a map the sim set is role-agents + first valids
+        if with_map:
+            mask_sim, mask_no_sim = mod.filter_episode_agents(
+                episode, reduced, STEP_CURRENT, N_AG_H5_SIM, DIST_THRESH_AG, DIM_VEH_LANES,
+                prefix="history/")
+        else:
+            mask_valid = episode["history/agent/valid"].any(1)
+            mask_sim = episode["history/agent/role"].any(-1)
+            for _idx in np.where(mask_valid)[0]:
+                mask_sim[_idx] = True
+                if mask_sim.sum() >= N_AG_H5_SIM:
+                    break
+            mask_no_sim = mask_valid & (~mask_sim)
+        mod.repack_episode_agents(episode, reduced, mask_sim, N_AG_H5_SIM, prefix="history/")
         mod.repack_episode_agents_no_sim(episode, reduced, mask_no_sim, N_AG_H5_NO_SIM, "history/")
     else:
         raise ValueError(dataset)

@@ -18,8 +18,8 @@ from tests.etl_parity_common import make_raw, run_pipeline
 GOLDEN = Path(__file__).parent / "golden/etl_parity_golden.npz"
 
 
-@pytest.mark.parametrize("seed", range(5))
-@pytest.mark.parametrize("dataset", ["training", "validation"])
+@pytest.mark.parametrize("seed", range(50))
+@pytest.mark.parametrize("dataset", ["training", "validation", "testing"])
 def test_pack_parity(seed, dataset):
     golden = np.load(GOLDEN)
     ours = run_pipeline(pk, make_raw(seed), dataset, is_ref=False, seed=seed)
@@ -39,3 +39,15 @@ def test_pack_parity(seed, dataset):
             # scipy interp1d and np.interp agree to the ulp in f64; the f32
             # derivative keys (acc/yaw_rate) amplify that to ~2e-5
             np.testing.assert_allclose(got, exp, atol=5e-5, rtol=1e-5, err_msg=key)
+
+
+def test_polygon_to_polylines_parity():
+    """get_polylines_from_polygon vs the reference (pack_h5.py:822-849)."""
+    golden = np.load(GOLDEN)
+    for p in range(4):
+        quad = golden[f"polygon|{p}|in"]
+        pls = pk.get_polylines_from_polygon(quad)
+        for j, pl in enumerate(pls):
+            np.testing.assert_allclose(
+                np.asarray(pl), golden[f"polygon|{p}|out{j}"], atol=1e-6,
+                err_msg=f"polygon {p} part {j}")

@@ -48,9 +48,11 @@ def pack_episode_map(episode, mp_id, mp_xyz, mp_type, mp_edge, n_mp_data, n_node
 
     c = 0
     for i in range(len(mp_id)):
-        pos = np.asarray(mp_xyz[i], np.float32)
-        if len(pos) < 2:
-            continue
+        pos = np.asarray(mp_xyz[i], np.float32).reshape(-1, 3)
+        # NOTE: a 1-point polyline still CONSUMES a slot in the reference
+        # (pack_h5.py:43-63 runs one cut with an empty range: valid stays all-
+        # False but type/id are set and the counter advances) — mirrored here;
+        # the degenerate_pl ETL golden pins it
         vec = np.diff(pos, axis=0)
         n = len(vec)
         cuts = np.linspace(0, n, n // n_nodes + 1, dtype=int, endpoint=False)
@@ -206,6 +208,11 @@ def center_at_sdc(episode, step_current, rand_pos: float = -1, rand_yaw: float =
         yaw += float(rng.uniform(-rand_yaw, rand_yaw))
 
     rot = _rot2d(-yaw)  # world -> sdc
+    # the reference derives the additive yaw from the rotation matrix
+    # (transform_utils.get_yaw_from_se2 -> atan2), i.e. -yaw WRAPPED into
+    # (-pi, pi]; identical to -yaw unless augmentation pushes |yaw| > pi
+    # (the aug ETL golden pins this)
+    yaw_add = float(np.arctan2(np.sin(-yaw), np.cos(-yaw)))
 
     def to_local_pts(pts):  # [N, 2]
         return (pts - center) @ rot.T
@@ -221,7 +228,7 @@ def center_at_sdc(episode, step_current, rand_pos: float = -1, rand_yaw: float =
         v = episode[pf + "agent/valid"]
         episode[pf + "agent/pos"][..., :2][v] = to_local_pts(episode[pf + "agent/pos"][..., :2][v])
         episode[pf + "agent/vel"][v] = to_local_vec(episode[pf + "agent/vel"][v])
-        episode[pf + "agent/yaw_bbox"][v] -= yaw
+        episode[pf + "agent/yaw_bbox"][v] += yaw_add
         key_tl = pf + "tl_stop/pos"
         if key_tl in episode:
             tv = episode[pf + "tl_lane/valid"].any(1)
@@ -229,7 +236,7 @@ def center_at_sdc(episode, step_current, rand_pos: float = -1, rand_yaw: float =
         if pf == "":
             gv = episode["agent/valid"].any(1)
             episode["agent/goal"][..., :2][gv] = to_local_pts(episode["agent/goal"][..., :2][gv])
-            episode["agent/goal"][..., 2][gv] -= yaw
+            episode["agent/goal"][..., 2][gv] += yaw_add
     return center, yaw
 
 
@@ -370,9 +377,17 @@ def filter_episode_agents(
 
     still = (episode[prefix + "agent/spd"][..., 0].sum(1) * 0.1 < thresh_spd) & (~rel) & ag_valid.any(1)
     lane_pos = episode_reduced["map/pos"][episode_reduced["map/valid"], :2]
+    # the reference's parked-vehicle loop (pack_h5.py:611-613) reads
+    # start_pos/end_pos LEFT OVER from this still-agent loop — a stale-variable
+    # bug it ships with; bit-parity means replicating it (stale_start/stale_end
+    # below), caught by the still_agents ETL golden. If the still loop body
+    # never ran the reference would NameError (out-of-contract input); we fall
+    # back to the current agent's poses there.
+    stale_start = stale_end = None
     for i in range(n_ag_data):
         if still[i] and ag_valid.any(1).sum() > n_ag_h5_sim:
             poses = episode[prefix + "agent/pos"][i, :, :2][ag_valid[i]]
+            stale_start, stale_end = poses[0], poses[-1]
             far_agent = (np.linalg.norm(rel_xy - poses[0], axis=-1).min() > 20) and (
                 np.linalg.norm(rel_xy - poses[-1], axis=-1).min() > 20)
             far_lane = (np.linalg.norm(lane_pos - poses[0], axis=-1).min() > 20) and (
@@ -390,13 +405,22 @@ def filter_episode_agents(
         & ag_valid.any(1) & episode[prefix + "agent/type"][:, 0]
     )
     for i in range(n_ag_data):
-        if veh_still[i] and ag_valid.any(1).sum() > n_ag_h5_sim and len(pos_vl):
+        # NOTE: no len(pos_vl) guard — with ZERO veh-lane polylines in the
+        # reduced map the reference still runs this body (empty candidate set
+        # -> not_associate_to_lane=True) and drops far parked vehicles; the
+        # far_map ETL golden pins that behavior
+        if veh_still[i] and ag_valid.any(1).sum() > n_ag_h5_sim:
             poses = episode[prefix + "agent/pos"][i, :, :2][ag_valid[i]]
             yaw = episode[prefix + "agent/yaw_bbox"][i, :, 0][ag_valid[i]][-1]
             heading = np.array([np.cos(yaw), np.sin(yaw)])
             candidate = (np.linalg.norm(pos_vl - poses[-1], axis=-1) < 3) & (dir_vl @ heading > 0)
-            far_agent = (np.linalg.norm(rel_xy - poses[0], axis=1).min() > 10) and (
-                np.linalg.norm(rel_xy - poses[-1], axis=1).min() > 10)
+            # reference parity: the far-to-relevant check uses the STALE
+            # start/end of the last still-loop agent, not this agent's
+            # (pack_h5.py:611-613 stale-variable bug; see comment above)
+            s = stale_start if stale_start is not None else poses[0]
+            e = stale_end if stale_end is not None else poses[-1]
+            far_agent = (np.linalg.norm(rel_xy - s, axis=1).min() > 10) and (
+                np.linalg.norm(rel_xy - e, axis=1).min() > 10)
             if far_agent and not candidate.any():
                 ag_valid[i] = False
 
