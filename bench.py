@@ -110,6 +110,13 @@ def _flops_cache(key: str, compute):
         return float(cache[key])
     val = compute()
     if val > 0:
+        try:
+            # re-read and merge just before writing so a concurrent bench
+            # run's entry is not dropped by last-writer-wins (ADVICE r3)
+            with open(path) as f:
+                cache = {**json.load(f), **cache}
+        except (OSError, ValueError):
+            pass
         cache[key] = val
         try:
             tmp = f"{path}.tmp.{os.getpid()}"
@@ -132,7 +139,18 @@ def _rollout_flops(cfg, model, params, batch, n_future: int, n_steps: int) -> fl
     import hashlib as _hl
 
     shapes = sorted((k, tuple(v.shape), str(v.dtype)) for k, v in batch.items())
-    key = _hl.md5(repr((_dc.asdict(cfg), shapes, n_future, n_steps)).encode()).hexdigest()
+    # version the memo with the package/jax versions AND the flop-counting
+    # source itself, so upgrades or counting changes invalidate stale entries
+    # instead of silently mis-reporting MFU (ADVICE r3)
+    import inspect as _ins
+
+    import trafficbotsv15_tpu as _pkg
+
+    src = _ins.getsource(_rollout_flops_uncached)
+    key = _hl.md5(repr((
+        _pkg.__version__, jax.__version__, _hl.md5(src.encode()).hexdigest(),
+        _dc.asdict(cfg), shapes, n_future, n_steps,
+    )).encode()).hexdigest()
     return _flops_cache(key, lambda: _rollout_flops_uncached(
         cfg, model, params, batch, n_future, n_steps))
 

@@ -22,10 +22,20 @@ def cache_dir(prefix: str = "jax_tb_tpu") -> str:
     cpu = platform.machine()
     try:
         with open("/proc/cpuinfo") as f:
+            ident = []
             for line in f:
                 if line.startswith("model name"):
                     cpu = line.split(":", 1)[1].strip()
                     break
+                # aarch64 /proc/cpuinfo has no "model name"; its stable
+                # identity lines distinguish ARM cores with different vector
+                # ISAs (the SIGILL hazard this tag exists for, ADVICE r3)
+                if line.split(":")[0].strip() in ("CPU implementer", "CPU part",
+                                                  "CPU architecture", "Features"):
+                    ident.append(line.strip())
+            else:
+                if ident:
+                    cpu = "|".join(sorted(set(ident)))
     except OSError:
         pass
     tag = hashlib.md5(cpu.encode()).hexdigest()[:8]
