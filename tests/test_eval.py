@@ -100,6 +100,31 @@ def test_womd_post_processing(setup):
     assert s2[0, 0, 1] < 0.01 and s2[0, 0, 0] > 0.98
 
 
+def test_mtr_nms_unique_selection():
+    """Selected modes are excluded with a -inf mask (not the reference's -2.0
+    offset), so the k_pred picks are distinct for ANY score scale — including
+    scores close to 0 where `s - 2.0` would still work, and large scores where
+    it would not."""
+    from trafficbotsv15_tpu.eval.womd_post_processing import mtr_nms
+
+    rng = np.random.default_rng(3)
+    n_sc, n_ag, K, n_step = 2, 3, 6, 10
+    trajs = jnp.asarray(rng.normal(size=(n_sc, n_ag, K, n_step, 3)).astype(np.float32)) * 50
+    ag_type = jnp.asarray(np.eye(3, dtype=bool)[rng.integers(0, 3, (n_sc, n_ag))])
+    for scale in (1.0, 100.0):
+        scores = jnp.asarray(rng.random((n_sc, n_ag, K)).astype(np.float32)) * scale
+        trajs_k, scores_k = mtr_nms(trajs, scores, 4, (2.0, 2.0, 2.0), True, ag_type)
+        # per (scene, agent): all 4 selected trajectories must be distinct modes
+        tk = np.asarray(trajs_k)
+        for i in range(n_sc):
+            for j in range(n_ag):
+                flat = tk[i, j].reshape(4, -1)
+                assert len({tuple(row) for row in flat}) == 4, (i, j, scale)
+        s = np.asarray(scores_k)
+        assert np.isfinite(s).all()
+        np.testing.assert_allclose(s.sum(-1), 1.0, atol=1e-5)
+
+
 def test_womd_aggr_under_jit(setup):
     """The EM aggregation path (aggr_thresh) runs host-side via pure_callback:
     every caller of womd_post_process is jitted (runner.py step functions), so

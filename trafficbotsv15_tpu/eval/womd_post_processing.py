@@ -45,7 +45,13 @@ def traj_topk(trajs: jnp.ndarray, scores: jnp.ndarray, k_pred: int) -> Tuple[jnp
 def mtr_nms(
     trajs: jnp.ndarray, scores: jnp.ndarray, k_pred: int, type_thresh, use_ade: bool, ag_type: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy NMS selection of k_pred modes (womd_post_processing.py:107-155)."""
+    """Greedy NMS selection of k_pred modes (womd_post_processing.py:107-155).
+
+    `scores` must be non-negative (softmaxed): the 0.01 suppression factor is
+    multiplicative, so a negative (e.g. raw-logit) score would be *promoted*
+    by suppression. Selected modes are excluded with a -inf mask rather than
+    the reference's `- 2.0` offset so the exclusion holds for any score scale.
+    """
     thresh = _type_thresh(ag_type, type_thresh)
     within = _within_dist(trajs[..., :2], thresh, use_ade)
     s = scores
@@ -55,7 +61,7 @@ def mtr_nms(
         sel_within = jnp.take_along_axis(within, idx[:, :, None, None], axis=2)[:, :, 0]
         w = jnp.where(sel_within, 0.01, 1.0)
         s = s * w
-        s = s - jax.nn.one_hot(idx, s.shape[-1]) * 2.0  # mark selected
+        s = jnp.where(jax.nn.one_hot(idx, s.shape[-1], dtype=bool), -jnp.inf, s)  # mark selected
         idxs.append(idx)
     idx = jnp.stack(idxs, axis=-1)  # [n_sc, n_ag, k_pred]
     trajs_k = jnp.take_along_axis(trajs, idx[:, :, :, None, None], axis=2)

@@ -21,6 +21,17 @@ Bin edges / weights / smoothing come from CHALLENGE_2024_CONFIG below (a
 transcription of the published 2024 challenge textproto — see the provenance
 note there and scripts/validate_wosac_config.py). Use
 eval.wosac_metrics.WOSACMetrics for official leaderboard numbers.
+
+KNOWN ESTIMATOR DEVIATION — time-to-collision: the official package computes
+TTC against the lead object from trajectory-pair geometry
+(`interaction_features.compute_time_to_collision_with_object_in_front`,
+box-projected along heading); `time_to_collision` below uses a same-lane
+leader heuristic (agent ahead within half-width lateral offset in the ego
+frame, constant-velocity closing time). The TTC bucket therefore tracks but
+does not reproduce the official number — treat `realism_meta` from this
+module (e.g. the dryrun's printed value) as an estimator. The collision /
+distance-to-object features use the exact WOSAC signed box distance and carry
+no such caveat.
 """
 
 from __future__ import annotations
