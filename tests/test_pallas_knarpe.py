@@ -154,6 +154,44 @@ def test_cross_backward_non_divisible_tiles(n_s, s_tile):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4, err_msg=name)
 
 
+# ---------------------------------------------------------------- v3 kernel
+from trafficbotsv15_tpu.ops.pallas_knarpe import knarpe_cross_attention_v3  # noqa: E402
+
+
+@pytest.mark.parametrize("n_b,n_s,s_tile", [(1, 8, 4), (1, 10, 4), (2, 8, 4)])
+def test_cross_v3_forward_matches_reference(n_b, n_s, s_tile):
+    """v3 (bf16-capable, sequential k/v halves) in f32 interpret mode must match
+    the XLA reference exactly like v2 does; n_b>1 exercises the batch-flatten
+    wrapper, and the [0, 1] all-invalid row must come out zero."""
+    n_knn, n_head, d_head, r = 5, 2, 8, 16
+    q, tgt, rpe, invalid, w_kv, w_rpe, b = _make_x_inputs(n_b, n_s, n_knn, n_head, d_head, r)
+    expected = knarpe_cross_attention_reference(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head)
+    got = knarpe_cross_attention_v3(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head, s_tile, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got)[0, 1], 0.0)
+
+
+def test_cross_v3_backward_matches_reference():
+    """v3 backward routes through the shared v2 recompute kernel; check the
+    full custom_vjp wiring end-to-end (incl. the None for `invalid`)."""
+    n_b, n_s, n_knn, n_head, d_head, r = 2, 8, 4, 2, 8, 16
+    q, tgt, rpe, invalid, w_kv, w_rpe, b = _make_x_inputs(n_b, n_s, n_knn, n_head, d_head, r)
+    g = jnp.asarray(RNG.normal(size=(n_b, n_s, n_head * d_head)).astype(np.float32))
+
+    def loss_v3(q, tgt, rpe, w_kv, w_rpe, b):
+        out = knarpe_cross_attention_v3(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head, 4, True)
+        return jnp.sum(out * g)
+
+    def loss_ref(q, tgt, rpe, w_kv, w_rpe, b):
+        out = knarpe_cross_attention_reference(q, tgt, rpe, invalid, w_kv, w_rpe, b, n_head)
+        return jnp.sum(out * g)
+
+    gp = jax.grad(loss_v3, argnums=(0, 1, 2, 3, 4, 5))(q, tgt, rpe, w_kv, w_rpe, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(q, tgt, rpe, w_kv, w_rpe, b)
+    for a, e, name in zip(gp, gr, ("dq", "dtgt", "drpe", "dw_kv", "dw_rpe", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=5e-4, err_msg=name)
+
+
 def test_cross_forward_scaled_dims_tile_clamp():
     """At scaled dims (d_model=256, K=89) the VMEM budget clamps s_tile below
     the flagship-tuned 64 (the unclamped tile stack-OOMed Mosaic on-device);
