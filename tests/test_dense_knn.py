@@ -40,6 +40,7 @@ def test_dense_knn_matches_gather(monkeypatch, with_rpe):
     np.testing.assert_allclose(np.asarray(dense)[0, 0], 0.0)  # all-invalid row zeroed
 
 
+@pytest.mark.slow
 def test_dense_knn_block_grads_match(monkeypatch):
     """Full enc_self_attn block: forward and grads agree across the two paths."""
     src, idx, inv, rpe = _mk(n_b=2, n_src=12, k=4)
@@ -60,6 +61,7 @@ def test_dense_knn_block_grads_match(monkeypatch):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_gather_path_with_fullwidth_static_rpe(monkeypatch):
     """TB_DENSE_KNN_MAX=0 forces the project-then-gather self-attn path; the
     fullwidth static rpe cache must be head-split there (latent-crash guard)."""

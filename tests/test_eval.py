@@ -26,6 +26,7 @@ def setup():
     return cfg, batch, model, params
 
 
+@pytest.mark.slow
 def test_reactive_replay_and_metrics(setup):
     cfg, batch, model, params = setup
     pp, buf, navi_pred, post, prior = reactive_replay(cfg, model, params, batch, jax.random.PRNGKey(1))
@@ -38,6 +39,7 @@ def test_reactive_replay_and_metrics(setup):
     assert 0.0 <= rm["reactive_replay/traffic_rule/collided"] <= 1.0
 
 
+@pytest.mark.slow
 def test_per_flavor_error_reset(setup):
     """Error-threshold resets read the PER-FLAVOR teacher-forcing config
     (reference threads one config per rollout flavor, teacher_forcing.py:107-167):
@@ -55,6 +57,7 @@ def test_per_flavor_error_reset(setup):
     assert f1 > f0
 
 
+@pytest.mark.slow
 def test_joint_future_pred(setup):
     cfg, batch, model, params = setup
     K = 4
@@ -71,6 +74,7 @@ def test_joint_future_pred(setup):
         assert diffs.sum() > 0
 
 
+@pytest.mark.slow
 def test_womd_post_processing(setup):
     cfg, batch, model, params = setup
     rng = np.random.default_rng(0)
@@ -125,6 +129,7 @@ def test_mtr_nms_unique_selection():
         np.testing.assert_allclose(s.sum(-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_womd_aggr_under_jit(setup):
     """The EM aggregation path (aggr_thresh) runs host-side via pure_callback:
     every caller of womd_post_process is jitted (runner.py step functions), so
@@ -148,6 +153,7 @@ def test_womd_aggr_under_jit(setup):
     assert np.isfinite(np.asarray(out["trajs"])).all()
 
 
+@pytest.mark.slow
 def test_wosac_filter_and_global(setup):
     cfg, batch, model, params = setup
     K = 4
@@ -164,6 +170,7 @@ def test_wosac_filter_and_global(setup):
     np.testing.assert_allclose(np.asarray(g[0, 0, 0, 0, :2]), expect, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_scan_unroll_equivalent(setup):
     """scan_unroll is a pure scheduling knob: unroll=2 reproduces unroll=1
     rollouts bit-for-bit at the same PRNG key."""

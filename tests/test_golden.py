@@ -56,6 +56,7 @@ def test_training_loss_golden(setup):
         np.testing.assert_allclose(float(m[k]), GOLDEN[k], rtol=1e-3, err_msg=k)
 
 
+@pytest.mark.slow
 def test_determinism(setup):
     """Same key -> bit-identical loss (determinism by construction, SURVEY §5)."""
     cfg, batch, model, params = setup

@@ -1,6 +1,7 @@
 """The per-layer target-LayerNorm fold (standardize once + fold scale/bias
 into the kv projection) is exact vs applying LayerNorm then projecting."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -92,6 +93,7 @@ def test_pe_xy_dir_fast_path_bit_exact():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_attn_dropout_weights_mode():
     """attn_dropout_weights=True (reference placement, attention_rpe.py:168):
     deterministic output matches the default mode exactly; active dropout

@@ -34,6 +34,7 @@ def test_navi_goal():
     assert "training/navi_loss" in m
 
 
+@pytest.mark.slow
 def test_navi_cmd():
     cfg = _small()
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, navi_mode="cmd"))
@@ -41,6 +42,7 @@ def test_navi_cmd():
     assert "training/navi_loss" in m
 
 
+@pytest.mark.slow
 def test_navi_dummy_and_no_latent():
     cfg = _small()
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
@@ -50,6 +52,7 @@ def test_navi_dummy_and_no_latent():
     assert "training/vae_kl" not in m
 
 
+@pytest.mark.slow
 def test_tl_stop_mode():
     cfg = _small()
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, tl_mode="stop"))
@@ -57,6 +60,7 @@ def test_tl_stop_mode():
     assert "training/tl_state_loss" in m
 
 
+@pytest.mark.slow
 def test_scene_centric_not_pairwise():
     cfg = _small()
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, pairwise_relative=False))

@@ -320,6 +320,7 @@ def _full_variables(model, mapped, ins, meta):
     return {"params": params}, a, w
 
 
+@pytest.mark.slow
 def test_traffic_bots_full_parity(full_model):
     """One policy step with the reference's weights: every stage must agree."""
     model, mapped, ins, outs, meta = full_model
@@ -348,6 +349,7 @@ def test_traffic_bots_full_parity(full_model):
           name="tl_log_probs")
 
 
+@pytest.mark.slow
 def test_traffic_bots_navi_latent_parity(full_model):
     model, mapped, ins, outs, meta = full_model
     variables, a, w = _full_variables(model, mapped, ins, meta)

@@ -65,6 +65,7 @@ def _run_pair(tmp_path, mode, timeout):
     return results, ckpt
 
 
+@pytest.mark.slow
 def test_two_process_placement_primitives(tmp_path):
     """Fast 2-process check of the cross-process array-placement primitives
     (runs in the default suite; the full fit+validate lifecycle is the slow

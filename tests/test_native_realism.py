@@ -9,6 +9,7 @@ src/pl_modules/waymo_motion.py:649-659).
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -79,6 +80,7 @@ def _make_inputs(seed=0, noise=0.0):
     return batch, pp, buf
 
 
+@pytest.mark.slow
 def test_perfect_sim_high_likelihood():
     """sim == logged replicated K times -> every likelihood ~1, ADE = 0."""
     batch, pp, buf = _make_inputs(noise=0.0)
@@ -125,6 +127,7 @@ def test_min_ade_is_best_whole_rollout():
                                expected, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_glue_matches_direct_call():
     """The batch glue adds no re-scoring: scenario 0 equals a direct
     compute_scenario_likelihoods call on the same slices."""

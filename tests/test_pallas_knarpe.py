@@ -11,6 +11,11 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# the KNARPE attention kernels are default-OFF (XLA wins at both measured
+# scales, docs/PERF.md chain9); their interpret-mode math checks run in the
+# slow tier (launch/ci.sh) to keep the default suite inside its budget
+pytestmark = pytest.mark.slow
+
 from trafficbotsv15_tpu.ops.pallas_knarpe import (
     knarpe_attention,
     knarpe_attention_reference,

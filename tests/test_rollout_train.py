@@ -100,6 +100,7 @@ def test_rollout_teacher_forcing_reconstruction(setup):
     assert (forced | ~gt).all()
 
 
+@pytest.mark.slow
 def test_error_reset_same_step_frame(setup):
     """The error-threshold reset compares the PREVIOUS post-override state with
     GT at the SAME step (reference computes it pre-forward: teacher_forcing.py:131-145
@@ -202,6 +203,7 @@ def test_remat_policy_names_kv_matches_names(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_wosac_collision_soa_matches_aos():
     """SoA fast path == composing the AoS reference helpers."""
     import numpy as np

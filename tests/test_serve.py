@@ -1,6 +1,7 @@
 """Interactive serving API: reset/step/scripted-agent override."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,7 @@ from trafficbotsv15_tpu.serve import InteractiveSimulator
 from trafficbotsv15_tpu.train.pipeline import build_model, init_params
 
 
+@pytest.mark.slow
 def test_interactive_simulator():
     cfg = tiny_config(n_ag=6, n_mp=20, n_tl=6, n_step=13, hidden_dim=32)
     batch = {k: jnp.asarray(v) for k, v in make_batch(cfg.data, n_sc=1, seed=9).items()}

@@ -20,6 +20,7 @@ class Loader:
             yield make_batch(self.cfg.data, n_sc=self.n_sc, seed=100 + i)
 
 
+@pytest.mark.slow
 def test_validate_end_to_end():
     cfg = tiny_config(n_ag=6, n_mp=20, n_tl=6, n_step=21, hidden_dim=32)
     loader = Loader(cfg)
@@ -53,6 +54,7 @@ def test_validate_end_to_end():
     assert np.isfinite(metrics["wosac/min_ade"])
 
 
+@pytest.mark.slow
 def test_official_womd_wiring(monkeypatch):
     """The official WOMD op path (gated off on this image — no tf/waymo):
     validate() must accumulate golden-tested packed inputs per batch and make

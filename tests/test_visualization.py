@@ -62,6 +62,7 @@ def _episode(b, i=0):
     return ep
 
 
+@pytest.mark.slow
 def test_prediction_videos_full_parity(scene, tmp_path):
     """gt/pd/mix videos + agent-centric views with violation/action text
     sidebar + TL rendering (vis_waymo.py:177-518 parity surface)."""

@@ -61,6 +61,7 @@ def test_aggregate_buckets():
         np.testing.assert_allclose(float(out[b]), 0.8, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_scenario_likelihoods_end_to_end():
     K, n_ag, n_step = 4, 3, 12
     base = np.zeros((n_ag, n_step, 3), np.float32)
@@ -130,6 +131,7 @@ def test_flat_sample_mean_pooling():
     assert not np.isclose(got, np.exp((a + b) / 2.0))
 
 
+@pytest.mark.slow
 def test_validity_gap_does_not_corrupt_kinematics():
     """A mid-track invalid GT step (zero-padded pose) must not leak garbage
     speeds/accelerations into the logged likelihoods: diff-feature validity
