@@ -173,28 +173,44 @@ def _rollout_flops_uncached(cfg, model, params, batch, n_future: int, n_steps: i
                          method="precompute_tl")
         return mp, tl
 
-    def full(params, b):
+    def full(params, b, skip_tl=False):
         pp = _pp(b)
         mp, tl = enc(params, b)
         n_sc, n_ag = pp.ag_valid.shape[:2]
+        tl_feat = None
+        if skip_tl:  # TL pre-pass mode: the scan body consumes a precomputed feature
+            tl_feat = jnp.zeros(tl.invalid.shape + (cfg.model.hidden_dim,))
         return model.apply(
             {"params": params},
             ag_valid=pp.ag_valid[:, :, -1],
             hist_ag_valid=pp.ag_valid[:, :, -W:],
             hist_ag_pose=pp.ag_pose[:, :, -W:],
             hist_ag_motion=pp.ag_motion[:, :, -W:],
-            hist_tl_state=pp.tl_state[:, :, -W:].astype(jnp.float32),
+            hist_tl_state=None if skip_tl else pp.tl_state[:, :, -W:].astype(jnp.float32),
             hist_step_invalid=jnp.zeros(W, bool),
             ag_attr=pp.ag_attr, ag_type=pp.ag_type,
             ag_latent=jnp.zeros((n_sc, n_ag, L)),
             ag_latent_valid=jnp.any(pp.ag_valid, -1),
             ag_navi=pp.gt_navi, ag_navi_valid=jnp.any(pp.gt_valid, -1),
             tl_tokens=tl, mp_tokens=mp, method="step",
+            tl_token_feature=tl_feat,
         )
 
     p_abs, b_abs = _abstract(params), _abstract(batch)
     b_exp = _expand_batch(b_abs, n_future)
     enc_once = _lowered_flops(enc, p_abs, b_abs)
+    if cfg.tl_prepass and cfg.model.temp_window_size > 0:
+        # executed-flops model for the hoisted TL subsystem: the policy step
+        # runs TL-free on the K-expanded rows; the TL encode runs once per
+        # UNIQUE scenario per step (sim/tl_prepass.py), so MFU does not claim
+        # the K-1 replica TL computations the hoist eliminated
+        step = (_lowered_flops(lambda p, b: full(p, b, True), p_abs, b_exp)
+                - _lowered_flops(enc, p_abs, b_exp))
+        tl_step = (_lowered_flops(full, p_abs, b_abs)
+                   - _lowered_flops(lambda p, b: full(p, b, True), p_abs, b_abs))
+        if enc_once <= 0 or step <= 0 or tl_step <= 0:
+            return 0.0
+        return enc_once + n_steps * (step + tl_step)
     step = _lowered_flops(full, p_abs, b_exp) - _lowered_flops(enc, p_abs, b_exp)
     if enc_once <= 0 or step <= 0:
         return 0.0

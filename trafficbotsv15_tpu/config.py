@@ -321,6 +321,12 @@ class ExperimentCfg:
     # reference's every-epoch official WOSAC metric, wosac.py:51-54); the
     # official pool still runs on top when waymo_open_dataset is present
     native_wosac_realism: bool = True
+    # hoist the agent-independent TL encoder/predictor out of the rollout
+    # scan (sim/tl_prepass.py): batched over steps when fully teacher-forced
+    # (training / reactive replay), or a TL-only scan on the un-replicated
+    # scenarios for the K-futures workload. HPTR mode only; semantics-equal
+    # (tests/test_tl_prepass.py), measured on-chip in docs/PERF.md chain10.
+    tl_prepass: bool = True
 
     data: DataCfg = _d(DataCfg)
     model: ModelCfg = _d(ModelCfg)

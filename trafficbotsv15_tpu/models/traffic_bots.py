@@ -114,6 +114,30 @@ class TrafficBots(nn.Module):
             ag_valid, ag_attr, ag_motion, ag_pose, ag_type, mp_tokens, deterministic=deterministic
         )
 
+    def step_tl(
+        self,
+        hist_tl_state,  # [n_sc, n_tl, W, 5]
+        hist_step_invalid,  # [W] bool: unfilled window slots
+        tl_tokens: TlTokens,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """TL feature + next-state logits for one history window.
+
+        The TL subsystem (traffic_light.py:156-287) never sees agent state, so
+        rollouts hoist it out of the main scan (sim/tl_prepass.py): batched
+        over all steps when fully teacher-forced, or as a cheap TL-only scan
+        on the un-replicated scenarios for the K-futures WOSAC workload.
+        HPTR mode only (the RNN-mode predictor carries a GRU hidden).
+        """
+        assert self.cfg.temp_window_size > 0, "TL pre-pass requires HPTR mode"
+        tl_token_feature = self.tl_encoder(
+            hist_tl_state, tl_tokens, step_invalid=hist_step_invalid, deterministic=deterministic
+        )
+        tl_logits, _ = self.tl_state_predictor(
+            tl_token_feature, tl_tokens.invalid, None, deterministic=deterministic
+        )
+        return tl_token_feature, tl_logits
+
     def step(
         self,
         ag_valid,  # [n_sc, n_ag] current-step valid
@@ -133,18 +157,25 @@ class TrafficBots(nn.Module):
         rnn_hidden=None,  # RNN mode carry
         tl_rnn_hidden=None,
         deterministic: bool = True,
+        tl_token_feature=None,  # [n_sc, n_tl, D] precomputed by the TL pre-pass
     ) -> Tuple[DiagGaussian, jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         """One simulation step (traffic_bots.py:151-221).
 
         Returns (action_dist, tl_state_logits, rnn_hidden, tl_rnn_hidden).
+        With a precomputed tl_token_feature the TL encoder/predictor are
+        skipped and tl_state_logits is None (the pre-pass already has them).
         """
         navi_feature = self.navi_encoder(
             ag_navi, hist_ag_pose[:, :, -1], mp_tokens, deterministic=deterministic
         )
 
-        tl_token_feature = self.tl_encoder(
-            hist_tl_state, tl_tokens, step_invalid=hist_step_invalid, deterministic=deterministic
-        )
+        tl_precomputed = tl_token_feature is not None
+        if not tl_precomputed:
+            tl_token_feature = self.tl_encoder(
+                hist_tl_state, tl_tokens, step_invalid=hist_step_invalid, deterministic=deterministic
+            )
+        else:
+            tl_token_feature = tl_token_feature.astype(self.dtype)
 
         ag_feature, rnn_hidden = self.ag_encoder(
             ag_valid=hist_ag_valid,
@@ -164,6 +195,9 @@ class TrafficBots(nn.Module):
 
         action_dist = self.action_head(ag_feature, ag_valid, ag_type, deterministic=deterministic)
 
+        if tl_precomputed:
+            # pre-pass mode: logits already computed outside the scan
+            return action_dist, None, rnn_hidden, tl_rnn_hidden
         tl_logits, tl_rnn_hidden = self.tl_state_predictor(
             tl_token_feature, tl_tokens.invalid, tl_rnn_hidden, deterministic=deterministic
         )

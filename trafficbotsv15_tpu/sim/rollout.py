@@ -147,6 +147,12 @@ def rollout(
     # reference threads a separate config per rollout flavor
     # (teacher_forcing.py:107-167). None = cfg.teacher_forcing_training.
     tf_cfg=None,
+    # TL pre-pass (sim/tl_prepass.py): {"feature": [n_step, n_sc_u, n_tl, D],
+    # "logits": [n_step, n_sc_u, n_tl, 5], "state": [n_step, n_sc_u, n_tl, 5]}
+    # with n_sc_u dividing n_sc (joint-future computes TL once per unique
+    # scenario; the body repeats to the K-replicated batch). When given, the
+    # scan body skips the TL encoder/predictor and the TL window carry.
+    tl_precomputed: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> RolloutBuffer:
     """Run the closed-loop simulation from step 1 to step_end inclusive.
 
@@ -179,6 +185,11 @@ def rollout(
     gt_pose_prev = _pad_gt_to(jnp.roll(gt_pose, 1, axis=2), n_step_roll)
     gt_motion_prev = _pad_gt_to(jnp.roll(gt_motion, 1, axis=2), n_step_roll)
 
+    tl_pre = tl_precomputed is not None
+    if tl_pre:
+        assert cfg.model.temp_window_size > 0, "TL pre-pass requires HPTR mode"
+        tl_rep = n_sc // tl_precomputed["feature"].shape[1]
+
     xs = dict(
         tf_valid=to_steps(tf_valid),
         tf_pose=to_steps(tf_pose),
@@ -189,14 +200,21 @@ def rollout(
         gt_valid_prev=to_steps(gt_valid_prev),
         gt_pose_prev=to_steps(gt_pose_prev),
         gt_motion_prev=to_steps(gt_motion_prev),
-        tl_forcing=to_steps(tl_forcing_s),
-        gt_tl_state=to_steps(gt_tl_state_s),
-        tl_avail=tl_avail,
+        # with the TL pre-pass the body neither overrides TL nor computes the
+        # NLL, so the TL GT streams stay out of the scan xs entirely
+        **({} if tl_pre else dict(
+            tl_forcing=to_steps(tl_forcing_s),
+            gt_tl_state=to_steps(gt_tl_state_s),
+            tl_avail=tl_avail,
+        )),
         gt_avail=gt_avail,
     )
     if player_valid is not None:
         xs["player_valid"] = to_steps(player_valid)
         xs["player_action"] = to_steps(player_action)
+    if tl_pre:
+        xs["tl_feature_pre"] = tl_precomputed["feature"]
+        xs["tl_state_pre"] = tl_precomputed["state"]
 
     # RNN mode (temp_window_size <= 0): GRU hiddens join the scan carry
     rnn_hidden0 = tl_rnn_hidden0 = None
@@ -217,11 +235,13 @@ def rollout(
         disabled=jnp.zeros((n_sc, n_ag), bool),
         pose=gt_pose[:, :, 0],
         motion=gt_motion[:, :, 0],
-        tl_state=gt_tl_state[:, :, 0].astype(jnp.float32),
+        tl_state=(jnp.zeros((1,), jnp.float32) if tl_pre
+                  else gt_tl_state[:, :, 0].astype(jnp.float32)),
         hist_valid=jnp.zeros((n_sc, n_ag, W), bool),
         hist_pose=jnp.zeros((n_sc, n_ag, W, 3), gt_pose.dtype),
         hist_motion=jnp.zeros((n_sc, n_ag, W, 3), gt_motion.dtype),
-        hist_tl_state=jnp.zeros((n_sc, n_tl, W, 5), jnp.float32),
+        hist_tl_state=(jnp.zeros((1,), jnp.float32) if tl_pre
+                       else jnp.zeros((n_sc, n_tl, W, 5), jnp.float32)),
         hist_step_invalid=jnp.ones((W,), bool),
         rule_state=rule_state0,
         navi=ag_navi,
@@ -244,7 +264,15 @@ def rollout(
         hist_valid = jnp.concatenate([c.hist_valid[:, :, 1:], c.valid[:, :, None]], axis=2)
         hist_pose = jnp.concatenate([c.hist_pose[:, :, 1:], sg(c.pose)[:, :, None]], axis=2)
         hist_motion = jnp.concatenate([c.hist_motion[:, :, 1:], sg(c.motion)[:, :, None]], axis=2)
-        hist_tl = jnp.concatenate([c.hist_tl_state[:, :, 1:], sg(c.tl_state)[:, :, None]], axis=2)
+        if tl_pre:
+            hist_tl = c.hist_tl_state  # dummy; TL window lives in the pre-pass
+            tl_feature_pre = x["tl_feature_pre"]
+            tl_state_pre = x["tl_state_pre"]
+            if tl_rep > 1:
+                tl_feature_pre = jnp.repeat(tl_feature_pre, tl_rep, axis=0)
+                tl_state_pre = jnp.repeat(tl_state_pre, tl_rep, axis=0)
+        else:
+            hist_tl = jnp.concatenate([c.hist_tl_state[:, :, 1:], sg(c.tl_state)[:, :, None]], axis=2)
         hist_step_invalid = jnp.concatenate([c.hist_step_invalid[1:], jnp.zeros((1,), bool)])
 
         from trafficbotsv15_tpu.ops import flags
@@ -264,7 +292,8 @@ def rollout(
             hist_ag_valid=hist_valid,
             hist_ag_pose=hist_pose,
             hist_ag_motion=hist_motion,
-            hist_tl_state=hist_tl,
+            hist_tl_state=None if tl_pre else hist_tl,
+            tl_token_feature=tl_feature_pre if tl_pre else None,
             hist_step_invalid=hist_step_invalid,
             ag_attr=ag_attr,
             ag_type=ag_type,
@@ -314,7 +343,10 @@ def rollout(
         ov_valid, ov_pose, ov_motion = dyn.override_ag(
             pred_valid, pred_pose, pred_motion, c.disabled, force, x["tf_pose"], x["tf_motion"]
         )
-        new_tl_state = dyn.override_tl(tl_logits, x["tl_forcing"], x["gt_tl_state"]).astype(jnp.float32)
+        if tl_pre:
+            new_tl_state = tl_state_pre
+        else:
+            new_tl_state = dyn.override_tl(tl_logits, x["tl_forcing"], x["gt_tl_state"]).astype(jnp.float32)
 
         # rule checking on the pre-override prediction (waymo_motion.py:249-251)
         rule_state, violations = check_rules(
@@ -331,14 +363,15 @@ def rollout(
             step_gt_valid, x["gt_pose"], x["gt_motion"], ag_size,
         )
 
-        # tl-state NLL vs GT argmax (waymo_motion.py:270-277)
-        gt_tl_idx = jnp.argmax(x["gt_tl_state"], axis=-1)
-        logp = jax.nn.log_softmax(tl_logits, axis=-1)
-        # one-hot dot instead of take_along_axis: keeps the BPTT backward
-        # scatter-free (TPU scatters serialize inside the scan backward)
-        nll = -jnp.sum(logp * jax.nn.one_hot(gt_tl_idx, logp.shape[-1], dtype=logp.dtype), axis=-1)
-        nll = jnp.where(x["tl_avail"], nll, 0.0)
-        nll_invalid = jnp.where(x["tl_avail"], tl_tokens.invalid, jnp.ones_like(tl_tokens.invalid))
+        if not tl_pre:
+            # tl-state NLL vs GT argmax (waymo_motion.py:270-277)
+            gt_tl_idx = jnp.argmax(x["gt_tl_state"], axis=-1)
+            logp = jax.nn.log_softmax(tl_logits, axis=-1)
+            # one-hot dot instead of take_along_axis: keeps the BPTT backward
+            # scatter-free (TPU scatters serialize inside the scan backward)
+            nll = -jnp.sum(logp * jax.nn.one_hot(gt_tl_idx, logp.shape[-1], dtype=logp.dtype), axis=-1)
+            nll = jnp.where(x["tl_avail"], nll, 0.0)
+            nll_invalid = jnp.where(x["tl_avail"], tl_tokens.invalid, jnp.ones_like(tl_tokens.invalid))
 
         # disable agents that left the map unless GT-valid (dynamics.py:165-181)
         disable = violations["outside_map_this_step"] & ~step_gt_valid
@@ -392,13 +425,14 @@ def rollout(
             pred_motion=pred_motion,
             pred_action=jax.lax.stop_gradient(action_bounded),
             action_log_prob=action_log_prob,
-            tl_state_nll=nll,
-            tl_state_nll_invalid=nll_invalid,
             mask_teacher_forcing=force,
             diffbar_reward=reward,
             violation=violations,
-            tl_state=new_tl_state,
         )
+        if not tl_pre:  # pre-pass: NLL + tl_state stitched in after the scan
+            out["tl_state_nll"] = nll
+            out["tl_state_nll_invalid"] = nll_invalid
+            out["tl_state"] = new_tl_state
         if repredict_navi:
             out["navi_log_prob"] = jnp.where(navi_reached, navi_lp, 0.0)
             out["navi_log_prob_valid"] = navi_reached
@@ -407,7 +441,7 @@ def rollout(
             disabled=disabled,
             pose=ov_pose,
             motion=ov_motion,
-            tl_state=new_tl_state,
+            tl_state=c.tl_state if tl_pre else new_tl_state,
             hist_valid=hist_valid,
             hist_pose=hist_pose,
             hist_motion=hist_motion,
@@ -457,6 +491,22 @@ def rollout(
     # step axis first -> step axis at dim 2
     def to_buffer(x):
         return jnp.moveaxis(x, 0, 2)
+
+    if tl_pre:
+        # NLL + tl_state trajectory computed once, batched over all steps
+        # (same formulas as the in-body path, waymo_motion.py:270-277)
+        logits = tl_precomputed["logits"]
+        state_pre = tl_precomputed["state"]
+        if tl_rep > 1:
+            logits = jnp.repeat(logits, tl_rep, axis=1)
+            state_pre = jnp.repeat(state_pre, tl_rep, axis=1)
+        gt_tl_idx = jnp.argmax(to_steps(gt_tl_state_s), axis=-1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll_all = -jnp.sum(logp * jax.nn.one_hot(gt_tl_idx, logp.shape[-1], dtype=logp.dtype), axis=-1)
+        nll_all = jnp.where(tl_avail[:, None, None], nll_all, 0.0)
+        outs["tl_state_nll"] = nll_all
+        outs["tl_state_nll_invalid"] = tl_tokens.invalid[None] | ~tl_avail[:, None, None]
+        outs["tl_state"] = state_pre
 
     return RolloutBuffer(
         pred_valid=to_buffer(outs["pred_valid"]),

@@ -18,6 +18,7 @@ from trafficbotsv15_tpu.config import ExperimentCfg
 from trafficbotsv15_tpu.data.preprocessing import PreProcessedBatch, pre_processing
 from trafficbotsv15_tpu.models.traffic_bots import TrafficBots
 from trafficbotsv15_tpu.sim import rollout as rollout_lib
+from trafficbotsv15_tpu.sim import tl_prepass
 from trafficbotsv15_tpu.sim.rule_checker import init_rule_checker
 from trafficbotsv15_tpu.train.pipeline import _navi_update_inputs
 from trafficbotsv15_tpu.sim.teacher_forcing import build_forcing_masks
@@ -72,6 +73,15 @@ def reactive_replay(
     ag_forcing, tl_forcing = build_forcing_masks(
         cfg.teacher_forcing_reactive_replay, pp.gt_valid, tl_forcing0, 0, k_tf
     )
+    # TL fully forced to GT over the whole horizon -> one batched TL encode
+    # replaces 90 per-step launches inside the scan (sim/tl_prepass.py)
+    tl_pre = None
+    if (cfg.tl_prepass and cfg.model.temp_window_size > 0
+            and pp.gt_tl_state.shape[2] >= cfg.time_step_end + 1):
+        tl_pre = tl_prepass.tl_rollout_forced(
+            model, params, tl_tokens, pp.gt_tl_state.astype(jnp.float32),
+            cfg.time_step_end, cfg.model.temp_window_size, deterministic=True,
+        )
     buffer = rollout_lib.rollout(
         model, params, cfg, mp_tokens, tl_tokens,
         ag_attr=pp.ag_attr, ag_type=pp.ag_type, ag_size=pp.ag_size,
@@ -85,6 +95,7 @@ def reactive_replay(
         key=k_roll, deterministic_action=True, train=False,
         navi_update_inputs=_navi_update_inputs(cfg, batch),
         tf_cfg=cfg.teacher_forcing_reactive_replay,
+        tl_precomputed=tl_pre,
     )
     return pp, buffer, navi_pred, latent_post, latent_prior
 
@@ -112,6 +123,18 @@ def joint_future_pred(
                                method="encode_latent")
     navi_dist = model.apply({"params": params}, pp.ag_valid, pp.ag_attr, pp.ag_motion, pp.ag_pose,
                             pp.ag_type, mp_tokens, method="predict_navi")
+
+    # The TL transition is deterministic (argmax + GT override) and never sees
+    # agent state, so the K replicated futures share ONE TL trajectory: run
+    # the TL-only scan on the un-replicated scenarios (K x fewer rows) and
+    # drop the TL encoder from the K-expanded main scan (sim/tl_prepass.py).
+    tl_pre = None
+    if cfg.tl_prepass and cfg.model.temp_window_size > 0:
+        tl_pre = tl_prepass.tl_rollout_scan(
+            model, params, tl_tokens, pp.tl_state.astype(jnp.float32),
+            jnp.ones(pp.tl_state.shape[:3], bool), cfg.time_step_end,
+            cfg.model.temp_window_size, deterministic=True,
+        )
 
     # repeat everything K times along the scenario axis
     mp_tokens = jax.tree_util.tree_map(lambda x: _repeat(x, k), mp_tokens)
@@ -173,6 +196,7 @@ def joint_future_pred(
         key=k_roll, deterministic_action=True, train=False,
         navi_update_inputs=_navi_update_inputs(cfg, batch, rep),
         tf_cfg=cfg.teacher_forcing_joint_future_pred,
+        tl_precomputed=tl_pre,
     )
     buffer = rollout_lib.compute_log_prob(buffer, latent_log_prob)
     return pp, buffer.flatten_joint_future(k)

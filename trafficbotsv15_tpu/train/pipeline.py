@@ -18,6 +18,7 @@ from trafficbotsv15_tpu.config import ExperimentCfg
 from trafficbotsv15_tpu.data.preprocessing import pre_processing
 from trafficbotsv15_tpu.models.traffic_bots import TrafficBots
 from trafficbotsv15_tpu.sim import rollout as rollout_lib
+from trafficbotsv15_tpu.sim import tl_prepass
 from trafficbotsv15_tpu.sim.rule_checker import init_rule_checker
 from trafficbotsv15_tpu.sim.teacher_forcing import build_forcing_masks
 from trafficbotsv15_tpu.train.losses import training_loss
@@ -110,7 +111,7 @@ def training_forward(
     current_epoch: int = 0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One full training forward: preproc -> encoders -> CVAE -> rollout -> loss."""
-    k_pre, k_latent, k_tf, k_roll, k_drop, k_loss = jax.random.split(key, 6)
+    k_pre, k_latent, k_tf, k_roll, k_drop, k_loss, k_tlpre = jax.random.split(key, 7)
 
     pp = pre_processing(
         batch, tl_mode=cfg.model.tl_mode, navi_mode=cfg.model.navi_mode,
@@ -149,6 +150,19 @@ def training_forward(
         cfg.teacher_forcing_training, pp.gt_valid, tl_forcing, current_epoch, k_tf
     )
 
+    # TL fully forced over the GT horizon -> one batched TL encode outside the
+    # remat'd scan: the 90 tiny in-scan TL launches (and their BPTT replay)
+    # become one matmul stack whose activations are stored once
+    tl_pre = None
+    if (cfg.tl_prepass and cfg.model.temp_window_size > 0
+            and pp.gt_tl_state.shape[2] >= cfg.time_step_end + 1):
+        with jax.named_scope("tl_prepass"):
+            tl_pre = tl_prepass.tl_rollout_forced(
+                model, params, tl_tokens, pp.gt_tl_state.astype(jnp.float32),
+                cfg.time_step_end, cfg.model.temp_window_size,
+                deterministic=False, key=k_tlpre,
+            )
+
     with jax.named_scope("rollout_scan"):
         buffer = rollout_lib.rollout(
             model, params, cfg, mp_tokens, tl_tokens,
@@ -162,6 +176,7 @@ def training_forward(
             rule_statics=rule_statics, rule_state0=rule_state0, check_level=0,
             key=k_roll, deterministic_action=cfg.training_deterministic_action, train=True,
             navi_update_inputs=_navi_update_inputs(cfg, batch),
+            tl_precomputed=tl_pre,
         )
 
     loss, metrics = training_loss(
