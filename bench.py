@@ -199,7 +199,16 @@ def _rollout_flops_uncached(cfg, model, params, batch, n_future: int, n_steps: i
     p_abs, b_abs = _abstract(params), _abstract(batch)
     b_exp = _expand_batch(b_abs, n_future)
     enc_once = _lowered_flops(enc, p_abs, b_abs)
-    if cfg.tl_prepass and cfg.model.temp_window_size > 0:
+    # mirror the callers' gating exactly (ADVICE r4 #3): joint-future
+    # (n_future > 1) uses tl_rollout_scan unconditionally; the train/replay
+    # regimes (n_future == 1) additionally require the GT TL horizon to cover
+    # time_step_end + 1 states (train/pipeline.py, train/evaluation.py) —
+    # otherwise TL runs in-scan and its flops belong in the per-step term
+    prepass_on = cfg.tl_prepass and cfg.model.temp_window_size > 0 and (
+        n_future > 1
+        or jax.eval_shape(_pp, b_abs).gt_tl_state.shape[2] >= cfg.time_step_end + 1
+    )
+    if prepass_on:
         # executed-flops model for the hoisted TL subsystem: the policy step
         # runs TL-free on the K-expanded rows; the TL encode runs once per
         # UNIQUE scenario per step (sim/tl_prepass.py), so MFU does not claim

@@ -47,25 +47,13 @@ def standardize(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x32 - mu) * jax.lax.rsqrt(var + eps)
 
 
-def _seg_attn(cfg_default: bool = True) -> bool:
-    """Head-segment matmul attention for the KNN paths (TransformerCfg.seg_attn;
-    env TB_SEG_ATTN overrides for trace-time A/B runs)."""
-    import os
-
-    env = os.environ.get("TB_SEG_ATTN")
-    return cfg_default if env is None else env == "1"
-
-
-def _dense_knn_max(cfg_default: int = 128) -> int:
-    """KNN self-attention over token sets up to this size runs as dense masked
-    attention (zero gathers; the KNN restriction becomes a mask built from the
-    indices on the VPU). Above it, project-then-gather is used. The per-layer
-    KV gathers this removes cost ~12 ms/step at flagship rollout shapes.
-    TransformerCfg.dense_knn_max; env TB_DENSE_KNN_MAX overrides."""
-    import os
-
-    env = os.environ.get("TB_DENSE_KNN_MAX")
-    return cfg_default if env is None else int(env)
+# trace-time A/B overrides live in ops/flags.py (the single env read point);
+# the config defaults (TransformerCfg.seg_attn / .dense_knn_max) stay here.
+# dense_knn_max: KNN self-attention over token sets up to this size runs as
+# dense masked attention (zero gathers); the per-layer KV gathers this removes
+# cost ~12 ms/step at flagship rollout shapes.
+from trafficbotsv15_tpu.ops.flags import dense_knn_max as _dense_knn_max
+from trafficbotsv15_tpu.ops.flags import seg_attn as _seg_attn
 
 
 class AttentionRPE(nn.Module):

@@ -21,9 +21,11 @@ reads was a footgun (VERDICT r3 weak #3).
 | onehot_gather (TB_ONEHOT_GATHER)              | ON      | one-hot matmul gathers inside scans, +21% eval / -20% train step time |
 | use_pallas_attention (TB_USE_PALLAS)          | ON*     | *kill-switch gate only: KNARPE attention kernels additionally require TransformerCfg.use_pallas=True, which stays False on two-scale A/B evidence |
 
-`seg_attn` / `dense_knn_max` are per-module math choices and live on
-TransformerCfg (env TB_SEG_ATTN / TB_DENSE_KNN_MAX still override there).
-The legacy alias TB_TRAIN_ONEHOT_GATHER and the undocumented
+`seg_attn` / `dense_knn_max` are per-module math choices whose DEFAULTS live
+on TransformerCfg; their env overrides (TB_SEG_ATTN / TB_DENSE_KNN_MAX) are
+read here too, via `seg_attn()` / `dense_knn_max()`, so this file is the
+single `os.environ` read point for all of models/ and ops/ (VERDICT r4
+weak #7). The legacy alias TB_TRAIN_ONEHOT_GATHER and the undocumented
 TB_GATHER_ONEHOT are deleted.
 """
 
@@ -68,6 +70,22 @@ def configure(cfg: Optional[OpsCfg]) -> None:
     """Install config-sourced defaults (run.py / bench.py call this once)."""
     global _configured
     _configured = cfg
+
+
+def seg_attn(cfg_default: bool) -> bool:
+    """Head-segment matmul attention for the KNN paths. Default comes from
+    TransformerCfg.seg_attn; TB_SEG_ATTN overrides for trace-time A/B runs."""
+    env = os.environ.get("TB_SEG_ATTN")
+    return cfg_default if env is None else env == "1"
+
+
+def dense_knn_max(cfg_default: int) -> int:
+    """KNN self-attention over token sets up to this size runs as dense masked
+    attention (zero gathers; the KNN restriction becomes a mask built from the
+    indices on the VPU). Above it, project-then-gather is used. Default comes
+    from TransformerCfg.dense_knn_max; TB_DENSE_KNN_MAX overrides."""
+    env = os.environ.get("TB_DENSE_KNN_MAX")
+    return cfg_default if env is None else int(env)
 
 
 def get() -> OpsCfg:

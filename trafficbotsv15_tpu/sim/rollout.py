@@ -188,7 +188,13 @@ def rollout(
     tl_pre = tl_precomputed is not None
     if tl_pre:
         assert cfg.model.temp_window_size > 0, "TL pre-pass requires HPTR mode"
-        tl_rep = n_sc // tl_precomputed["feature"].shape[1]
+        n_sc_u = tl_precomputed["feature"].shape[1]
+        assert n_sc % n_sc_u == 0, (
+            f"prepass batch {n_sc_u} does not divide rollout batch {n_sc}")
+        assert tl_precomputed["feature"].shape[0] == n_step_roll, (
+            f"prepass step count {tl_precomputed['feature'].shape[0]} != "
+            f"rollout steps {n_step_roll}")
+        tl_rep = n_sc // n_sc_u
 
     xs = dict(
         tf_valid=to_steps(tf_valid),

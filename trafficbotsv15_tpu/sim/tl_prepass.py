@@ -61,6 +61,20 @@ def _windows_from_states(states_seq: jnp.ndarray, n_step_roll: int, w: int) -> j
     return jnp.moveaxis(win, 2, 0)
 
 
+def fully_forced(tl_forcing) -> bool:
+    """Trace-time check that TL is teacher-forced everywhere — the regime
+    `tl_rollout_forced` is valid for (ADVICE r4 #1: the callers' gate must
+    track the actual forcing mask, not just the GT horizon shape).
+
+    The callers build tl_forcing as a concrete all-ones constant that
+    build_forcing_masks returns unchanged, so this resolves statically at
+    trace time; a traced or partially-forced mask returns False and callers
+    fall back to the in-scan TL path (correct, just slower)."""
+    if isinstance(tl_forcing, jax.core.Tracer):
+        return False
+    return bool(jnp.all(tl_forcing))
+
+
 def tl_rollout_forced(
     model,
     params,

