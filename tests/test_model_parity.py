@@ -269,6 +269,114 @@ def test_tl_predictor_parity():
     close(logits, outs["y"])
 
 
+def test_dist_encoder_variant_parity():
+    """Plain-cat, parameter-free std_cat (incl. MultiCategorical.log_prob), and
+    branched diag_gaus with MLP log-std (latent_encoder.py:125-253)."""
+    from trafficbotsv15_tpu.config import DistEncoderCfg
+    from trafficbotsv15_tpu.models.latent_encoder import DistEncoder
+
+    sd, ins, outs, _ = load("dist_enc_cat_plain")
+    m = DistEncoder(cfg=DistEncoderCfg(dist_type="cat", branch_type=False, n_cat=8,
+                                       log_std=None, n_layer=3), hidden_dim=64, out_dim=16)
+    dist = run(m, ti.map_dist_encoder(sd, "", "cat", 3, False, False, False), None,
+               jnp.asarray(ins["x"]), jnp.asarray(ins["valid"]), jnp.asarray(ins["ag_type"]))
+    close(dist.logits, outs["logits"])
+
+    _, ins, outs, _ = load("dist_enc_std_cat")
+    m = DistEncoder(cfg=DistEncoderCfg(dist_type="std_cat", n_cat=8), hidden_dim=64, out_dim=16)
+    dist = run(m, {}, None,
+               jnp.asarray(ins["x"]), jnp.asarray(ins["valid"]), jnp.asarray(ins["ag_type"]))
+    close(dist.logits, outs["logits"], name="std_cat logits")
+    close(dist.log_prob(jnp.asarray(ins["sample"])), outs["log_prob"], name="std_cat log_prob")
+
+    sd, ins, outs, _ = load("dist_enc_diag_gaus_branch")
+    m = DistEncoder(cfg=DistEncoderCfg(dist_type="diag_gaus", branch_type=True,
+                                       log_std=None, n_layer=3), hidden_dim=64, out_dim=16)
+    dist = run(m, ti.map_dist_encoder(sd, "", "diag_gaus", 3, True, False, False), None,
+               jnp.asarray(ins["x"]), jnp.asarray(ins["valid"]), jnp.asarray(ins["ag_type"]))
+    close(dist.mean, outs["mean"], name="branch mean")
+    close(dist.std, outs["std"], atol=2e-5, rtol=1e-3, name="branch std")
+
+
+@pytest.mark.parametrize("name,navi_mode,w", [
+    ("navi_pred_goal_rnn", "goal", -1),
+    ("navi_pred_cmd_hptr", "cmd", 11),
+])
+def test_navi_predictor_goal_cmd_parity(name, navi_mode, w):
+    """Goal/cmd NaviPredictor heads + both track encoders (navigation.py:280-322):
+    goal exercises the RNN temporal path (GRU + res_add + pooling), cmd the
+    HPTR PointNet path."""
+    from trafficbotsv15_tpu.config import (
+        AgEncoderCfg, NaviPredictorCfg, PolylineEncoderCfg, TransformerCfg,
+    )
+    from trafficbotsv15_tpu.models.navigation import NaviPredictor
+    from trafficbotsv15_tpu.models.tokens import MapTokens
+    from trafficbotsv15_tpu.ops.pose_emb import PoseEmbConfig
+
+    sd, ins, outs, meta = load(name)
+    cfg = NaviPredictorCfg(n_layer_tf=2, n_layer_mlp=3)
+    m = NaviPredictor(
+        cfg=cfg, ag_encoder_cfg=AgEncoderCfg(), tf_cfg=TransformerCfg(d_model=64),
+        hidden_dim=64, navi_mode=navi_mode, navi_dim=meta["navi_dim"],
+        pairwise_relative=True, temp_window_size=w, n_tgt_knn=32, dist_limit=500.0,
+        pose_rpe=PoseEmbConfig(mode="pe_xy_yaw", pe_dim=64, theta_xy=1e3, theta_cs=1e1),
+    )
+    mp_tokens = MapTokens(
+        invalid=jnp.asarray(ins["mp_invalid"]), feature=jnp.asarray(ins["mp_feature"]),
+        pose=jnp.asarray(ins["mp_pose"]), type=jnp.asarray(ins["mp_type"]),
+    )
+    mapped = ti.map_navi_predictor(sd, "", cfg, AgEncoderCfg(), 64, w,
+                                   PolylineEncoderCfg(), 64, navi_mode)
+    dist = run(
+        m, mapped, None,
+        jnp.asarray(ins["ag_valid"]), jnp.asarray(ins["ag_attr"]), jnp.asarray(ins["ag_motion"]),
+        jnp.asarray(ins["ag_pose"]), jnp.asarray(ins["ag_type"]), mp_tokens,
+    )
+    if navi_mode == "goal":
+        close(dist.mean, outs["mean"], atol=2e-4, rtol=1e-3, name="goal mean")
+        close(dist.std, outs["std"], atol=2e-5, rtol=1e-4, name="goal std")
+    else:
+        close(dist.probs, outs["probs"], atol=1e-5, rtol=1e-3, name="cmd probs")
+
+
+def test_tl_encoder_stacked_parity():
+    """Stacked-input TL encoder (traffic_light.py:210-240, temp_stack_input=True)
+    with a 7-step window (left-zero-padding path)."""
+    from trafficbotsv15_tpu.config import PolylineEncoderCfg, TlEncoderCfg, TransformerCfg
+    from trafficbotsv15_tpu.models.tokens import MapTokens
+    from trafficbotsv15_tpu.models.traffic_light import TrafficLightEncoder
+    from trafficbotsv15_tpu.ops.pose_emb import PoseEmbConfig
+
+    sd, ins, outs, meta = load("tl_encoder_stacked")
+    cfg = TlEncoderCfg(temp_stack_input=True, n_layer_tf=2)
+    m = TrafficLightEncoder(
+        cfg=cfg, tf_cfg=TransformerCfg(d_model=64), hidden_dim=64, tl_state_dim=5,
+        tl_mode="lane", pairwise_relative=True, temp_window_size=meta["temp_window_size"],
+        n_tgt_knn=32, dist_limit=500.0,
+        pose_rpe=PoseEmbConfig(mode="pe_xy_yaw", pe_dim=64, theta_xy=1e3, theta_cs=1e1),
+    )
+    mp_tokens = MapTokens(
+        invalid=jnp.asarray(ins["mp_invalid"]), feature=jnp.asarray(ins["mp_feature"]),
+        pose=jnp.asarray(ins["mp_pose"]),
+        type=jnp.ones(ins["mp_invalid"].shape + (11,), bool),
+    )
+    tl_valid = jnp.asarray(ins["tl_valid"])
+    tl_attr = jnp.asarray(ins["tl_attr"], jnp.int32)
+    tl_pose = jnp.asarray(ins["tl_pose"])
+    tl_state = jnp.asarray(ins["tl_state"])
+
+    def fwd(mdl):
+        toks = mdl.precompute(tl_valid, tl_attr, tl_pose, mp_tokens)
+        return mdl(tl_state, toks), toks.attr
+
+    variables = m.init(RNG, method=fwd)
+    mapped = ti.map_tl_encoder(sd, "", cfg, 64, meta["temp_window_size"], PolylineEncoderCfg())
+    params = ti.conform(mapped, variables["params"])
+    feat, attr = m.apply({"params": params}, method=fwd)
+    close(attr, outs["tl_token_attr"], name="tl_attr")
+    close(feat, outs["tl_feature"], atol=5e-5, rtol=1e-3, name="tl_feature")
+
+
 # ------------------------------------------------------------ full model
 
 
@@ -347,6 +455,114 @@ def test_traffic_bots_full_parity(full_model):
     close(action_dist.std, outs["action_std"], atol=5e-4, rtol=1e-3, name="action_std")
     close(jax.nn.log_softmax(tl_logits, -1), outs["tl_log_probs"], atol=5e-4, rtol=1e-3,
           name="tl_log_probs")
+
+
+@pytest.fixture(scope="module")
+def rnn_model():
+    from trafficbotsv15_tpu.config import (
+        AgEncoderCfg, MapEncoderCfg, ModelCfg, NaviPredictorCfg, TlEncoderCfg, TransformerCfg,
+    )
+    from trafficbotsv15_tpu.models.traffic_bots import TrafficBots
+
+    sd, ins, outs, meta = load("traffic_bots_rnn")
+    cfg = ModelCfg(
+        hidden_dim=64,
+        temp_window_size=-1,
+        tf_cfg=TransformerCfg(d_model=64),
+        mp_encoder=MapEncoderCfg(n_layer_tf=meta["n_layer_mp"]),
+        tl_encoder=TlEncoderCfg(n_layer_tf=meta["n_layer_tl"]),
+        ag_encoder=AgEncoderCfg(n_layer_tf=meta["n_layer_ag"]),
+        navi_predictor=NaviPredictorCfg(n_layer_tf=meta["n_layer_navi"]),
+    )
+    model = TrafficBots(cfg=cfg, time_step_gt=meta["time_step_gt"])
+    mapped = ti.map_traffic_bots(sd, cfg, meta["time_step_gt"])
+    return model, mapped, ins, outs, meta
+
+
+def _rnn_variables(model, mapped, ins):
+    a = {k: jnp.asarray(v) for k, v in ins.items() if k != "w"}
+
+    def init_all(mdl):
+        mp = mdl.encode_map(a["mp_valid"], a["mp_attr"], a["mp_pose"], a["mp_type"])
+        tl = mdl.precompute_tl(a["tl_valid"], a["tl_attr"], a["tl_pose"], mp)
+        mdl.encode_latent(a["ag_valid"], a["ag_attr"], a["ag_motion"], a["ag_pose"],
+                          a["ag_type"], a["tl_state"], mp, tl, posterior=True)
+        mdl.predict_navi(a["ag_valid"], a["ag_attr"], a["ag_motion"], a["ag_pose"], a["ag_type"], mp)
+        return mdl.step(
+            a["ag_valid"][:, :, 0], a["ag_valid"][:, :, 0:1], a["ag_pose"][:, :, 0:1],
+            a["ag_motion"][:, :, 0:1], a["tl_state"][:, :, 0:1], jnp.zeros((1,), bool),
+            a["ag_attr"], a["ag_type"], a["ag_latent"], jnp.ones(a["ag_navi"].shape, bool),
+            a["ag_navi"], a["ag_navi_valid"], tl, mp,
+        )
+
+    variables = model.init(RNG, method=init_all)
+    params = ti.conform(mapped, variables["params"])
+    return {"params": params}, a
+
+
+@pytest.mark.slow
+def test_traffic_bots_rnn_parity(rnn_model):
+    """The second architecture family end-to-end: _forward_trafficbots_rollout
+    (3 attention stages + carried GRU hidden) driven for 11 steps, the RNN TL
+    encoder + GRU state predictor, with the reference's actual weights
+    (agent_encoder.py:180-249, traffic_light.py:241-287)."""
+    model, mapped, ins, outs, meta = rnn_model
+    variables, a = _rnn_variables(model, mapped, ins)
+
+    mp = model.apply(variables, a["mp_valid"], a["mp_attr"], a["mp_pose"], a["mp_type"],
+                     method="encode_map")
+    tl = model.apply(variables, a["tl_valid"], a["tl_attr"], a["tl_pose"], mp,
+                     method="precompute_tl")
+
+    rnn_h = tl_h = None
+    for t in range(int(meta["w"])):
+        action_dist, tl_logits, rnn_h, tl_h = model.apply(
+            variables,
+            a["ag_valid"][:, :, t], a["ag_valid"][:, :, t:t + 1], a["ag_pose"][:, :, t:t + 1],
+            a["ag_motion"][:, :, t:t + 1], a["tl_state"][:, :, t:t + 1], jnp.zeros((1,), bool),
+            a["ag_attr"], a["ag_type"], a["ag_latent"], jnp.ones(a["ag_navi"].shape, bool),
+            a["ag_navi"], a["ag_navi_valid"], tl, mp,
+            rnn_hidden=rnn_h, tl_rnn_hidden=tl_h,
+            method="step",
+        )
+
+    close(action_dist.mean, outs["action_mean"], atol=5e-4, rtol=1e-3, name="action_mean")
+    close(action_dist.std, outs["action_std"], atol=5e-4, rtol=1e-3, name="action_std")
+    close(jax.nn.log_softmax(tl_logits, -1), outs["tl_log_probs"], atol=5e-4, rtol=1e-3,
+          name="tl_log_probs")
+    # torch hidden layout: [n_layer, n_sc*n_ag, d]
+    n_layer = outs["rnn_hidden"].shape[0]
+    close(rnn_h.reshape(n_layer, -1, rnn_h.shape[-1]), outs["rnn_hidden"],
+          atol=5e-4, rtol=1e-3, name="rnn_hidden")
+    close(tl_h.reshape(n_layer, -1, tl_h.shape[-1]), outs["tl_rnn_hidden"],
+          atol=5e-4, rtol=1e-3, name="tl_rnn_hidden")
+
+
+@pytest.mark.slow
+def test_traffic_bots_rnn_navi_latent_parity(rnn_model):
+    """RNN-mode NaviPredictor (GRU track encoder) and the flattened
+    _forward_trafficbots_latent_encoder posterior (agent_encoder.py:251-319)."""
+    model, mapped, ins, outs, meta = rnn_model
+    variables, a = _rnn_variables(model, mapped, ins)
+
+    mp = model.apply(variables, a["mp_valid"], a["mp_attr"], a["mp_pose"], a["mp_type"],
+                     method="encode_map")
+    tl = model.apply(variables, a["tl_valid"], a["tl_attr"], a["tl_pose"], mp,
+                     method="precompute_tl")
+
+    navi_dist = model.apply(
+        variables, a["ag_valid"], a["ag_attr"], a["ag_motion"], a["ag_pose"], a["ag_type"], mp,
+        method="predict_navi",
+    )
+    close(navi_dist.probs, outs["navi_probs"], atol=1e-4, rtol=1e-3, name="navi_probs")
+
+    latent_post = model.apply(
+        variables, a["ag_valid"], a["ag_attr"], a["ag_motion"], a["ag_pose"], a["ag_type"],
+        a["tl_state"], mp, tl, True,
+        method="encode_latent",
+    )
+    close(latent_post.mean, outs["latent_post_mean"], atol=5e-4, rtol=1e-3, name="latent_mean")
+    close(latent_post.std, outs["latent_post_std"], atol=5e-4, rtol=1e-3, name="latent_std")
 
 
 @pytest.mark.slow
