@@ -194,6 +194,34 @@ def test_pack_waymo_inputs_ordering():
     assert packed["object_type"][0, 2] == 1.0
 
 
+def test_pack_waymo_inputs_byte_golden():
+    """Byte-pinned cross-round golden for the official-op input packing
+    (VERDICT r4 item 9): the arrays fed to py_metrics_ops.motion_metrics
+    (/root/reference/src/models/metrics/womd.py:140-149) must reproduce
+    tests/golden/womd_pack_golden.npz BYTE-exactly. The real Waymo package is
+    absent from this image, so this golden is the drift detector that fires
+    before a real environment ever would. Regenerate only on a deliberate
+    packing change: python scripts/gen_womd_pack_golden.py."""
+    import importlib.util
+    from pathlib import Path
+
+    from trafficbotsv15_tpu.eval.womd_metrics import pack_waymo_inputs
+
+    repo = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "gen_womd_pack_golden", repo / "scripts" / "gen_womd_pack_golden.py")
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    packed = pack_waymo_inputs(*gen.build_inputs())
+    with np.load(repo / "tests" / "golden" / "womd_pack_golden.npz") as gold:
+        assert sorted(packed) == sorted(gold.files)
+        for k in gold.files:
+            assert packed[k].dtype == gold[k].dtype, k
+            assert packed[k].shape == gold[k].shape, k
+            assert packed[k].tobytes() == gold[k].tobytes(), f"packing drift in {k}"
+
+
 def test_submission_pipeline_end_to_end(tmp_path, monkeypatch):
     """The full action=test pipeline (joint-future K rollout -> WOMD 32->6
     post-processing -> WOSAC best-32 filter + global frame -> proto shards +
