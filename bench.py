@@ -302,6 +302,8 @@ def main():
 
     if os.environ.get("BENCH_REMAT"):  # full | dots | names | none
         cfg = dataclasses.replace(cfg, remat_policy=os.environ["BENCH_REMAT"])
+    if os.environ.get("BENCH_TL_PREPASS"):  # 0/1: A/B the TL pre-pass hoist
+        cfg = dataclasses.replace(cfg, tl_prepass=os.environ["BENCH_TL_PREPASS"] == "1")
     if os.environ.get("BENCH_UNROLL"):
         cfg = dataclasses.replace(cfg, scan_unroll=int(os.environ["BENCH_UNROLL"]))
     if os.environ.get("BENCH_USE_PALLAS") == "1":

@@ -85,6 +85,42 @@ def test_forced_windows_match_scan(setup):
                                atol=1e-5)
 
 
+def test_prepass_fires_under_jit_trace(setup, monkeypatch):
+    """The forced pre-pass must engage INSIDE jit, not just eagerly: under
+    omnistaging even jnp.ones is a tracer, so a value-based all-True gate
+    silently falls back to the in-scan TL path in every jitted step while
+    eager parity tests keep passing (regression test for exactly that bug).
+    Asserts tl_rollout_forced is reached while TRACING training_forward and
+    reactive_replay, and that a genuinely partial mask still gates it off."""
+    from trafficbotsv15_tpu.sim import tl_prepass
+    from trafficbotsv15_tpu.train.evaluation import reactive_replay
+
+    cfg, batch, model, params = setup
+    calls = []
+    orig = tl_prepass.tl_rollout_forced
+    monkeypatch.setattr(tl_prepass, "tl_rollout_forced",
+                        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+
+    jax.make_jaxpr(
+        lambda p: training_forward(cfg, model, p, batch, jax.random.PRNGKey(1))[0]
+    )(params)
+    assert calls, "training_forward did not take the TL pre-pass under trace"
+
+    n_train = len(calls)
+    jax.make_jaxpr(
+        lambda p: reactive_replay(cfg, model, p, batch, jax.random.PRNGKey(2))[1].pred_pose
+    )(params)
+    assert len(calls) > n_train, "reactive_replay did not take the TL pre-pass under trace"
+
+    # a partial mask must NOT pass the gate
+    partial = jnp.ones((2, 3, 5), bool).at[0, 0, 0].set(False)
+    assert not tl_prepass.fully_forced(partial)
+    ones = jnp.ones((2, 3, 5), bool)
+    assert tl_prepass.fully_forced(ones)
+    assert tl_prepass.fully_forced(ones, ones)
+
+
+@pytest.mark.slow
 def test_reactive_replay_parity(setup):
     """Fully-forced regime end-to-end. The vmapped TL encode reassociates
     float reductions, and the closed loop amplifies ~1e-6 feature diffs
@@ -114,6 +150,7 @@ def _zero_dropout(obj):
     return obj
 
 
+@pytest.mark.slow
 def test_training_loss_and_grads(setup):
     """Training still differentiates through the hoisted TL encode: the TL
     encoder/predictor params get nonzero grads (NLL + ag2tl attention), and

@@ -61,15 +61,23 @@ def _windows_from_states(states_seq: jnp.ndarray, n_step_roll: int, w: int) -> j
     return jnp.moveaxis(win, 2, 0)
 
 
-def fully_forced(tl_forcing) -> bool:
+def fully_forced(tl_forcing, tl_forcing_all_true=None) -> bool:
     """Trace-time check that TL is teacher-forced everywhere — the regime
     `tl_rollout_forced` is valid for (ADVICE r4 #1: the callers' gate must
     track the actual forcing mask, not just the GT horizon shape).
 
-    The callers build tl_forcing as a concrete all-ones constant that
-    build_forcing_masks returns unchanged, so this resolves statically at
-    trace time; a traced or partially-forced mask returns False and callers
-    fall back to the in-scan TL path (correct, just slower)."""
+    Callers build an all-ones mask and pass it through build_forcing_masks;
+    when the returned mask IS that object (identity — the function returned it
+    untouched), TL forcing is provably all-True without inspecting values.
+    The identity check is what makes this trace-safe: under jit, omnistaging
+    turns even jnp.ones into a tracer, so a value-based `bool(all(...))`
+    would raise (or, worse, a Tracer guard would silently disable the
+    pre-pass inside every jitted step while eager parity tests keep passing —
+    the exact bug this signature replaces). A mask that was reconstructed or
+    partially modified falls back to the value check, which then only
+    succeeds outside jit."""
+    if tl_forcing_all_true is not None and tl_forcing is tl_forcing_all_true:
+        return True
     if isinstance(tl_forcing, jax.core.Tracer):
         return False
     return bool(jnp.all(tl_forcing))

@@ -78,7 +78,7 @@ def reactive_replay(
     tl_pre = None
     if (cfg.tl_prepass and cfg.model.temp_window_size > 0
             and pp.gt_tl_state.shape[2] >= cfg.time_step_end + 1
-            and tl_prepass.fully_forced(tl_forcing)):
+            and tl_prepass.fully_forced(tl_forcing, tl_forcing0)):
         tl_pre = tl_prepass.tl_rollout_forced(
             model, params, tl_tokens, pp.gt_tl_state.astype(jnp.float32),
             cfg.time_step_end, cfg.model.temp_window_size, deterministic=True,

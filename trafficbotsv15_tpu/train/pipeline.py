@@ -149,9 +149,9 @@ def training_forward(
         tl_valid=tl_tokens.valid, tl_pose=tl_tokens.pose,
         ag_goal=batch.get("agent/goal"), ag_dest=batch.get("agent/dest"),
     )
-    tl_forcing = jnp.ones(pp.gt_tl_state.shape[:3], bool)  # TL always forced to GT when available
+    tl_forcing0 = jnp.ones(pp.gt_tl_state.shape[:3], bool)  # TL always forced to GT when available
     ag_forcing, tl_forcing = build_forcing_masks(
-        cfg.teacher_forcing_training, pp.gt_valid, tl_forcing, current_epoch, k_tf
+        cfg.teacher_forcing_training, pp.gt_valid, tl_forcing0, current_epoch, k_tf
     )
 
     # TL fully forced over the GT horizon -> one batched TL encode outside the
@@ -160,7 +160,7 @@ def training_forward(
     tl_pre = None
     if (cfg.tl_prepass and cfg.model.temp_window_size > 0
             and pp.gt_tl_state.shape[2] >= cfg.time_step_end + 1
-            and tl_prepass.fully_forced(tl_forcing)):
+            and tl_prepass.fully_forced(tl_forcing, tl_forcing0)):
         with jax.named_scope("tl_prepass"):
             tl_pre = tl_prepass.tl_rollout_forced(
                 model, params, tl_tokens, pp.gt_tl_state.astype(jnp.float32),
