@@ -304,6 +304,9 @@ def main():
         cfg = dataclasses.replace(cfg, remat_policy=os.environ["BENCH_REMAT"])
     if os.environ.get("BENCH_TL_PREPASS"):  # 0/1: A/B the TL pre-pass hoist
         cfg = dataclasses.replace(cfg, tl_prepass=os.environ["BENCH_TL_PREPASS"] == "1")
+    if os.environ.get("BENCH_TOKEN_DEDUP"):  # 0/1: A/B the K-futures token dedup
+        cfg = dataclasses.replace(
+            cfg, rollout_token_dedup=os.environ["BENCH_TOKEN_DEDUP"] == "1")
     if os.environ.get("BENCH_UNROLL"):
         cfg = dataclasses.replace(cfg, scan_unroll=int(os.environ["BENCH_UNROLL"]))
     if os.environ.get("BENCH_USE_PALLAS") == "1":

@@ -76,8 +76,8 @@ def _parse_events_fallback(path):
                 plane_name = pv.decode("utf-8", "replace")
             elif pf == 3:
                 lines.append(pv)
-            elif pf == 5:  # map<int64, XEventMetadata>
-                mid, mname = 0, ""
+            elif pf == 4:  # map<int64, XEventMetadata> (5 is stat_metadata)
+                mid, mname, mdisp = 0, "", ""
                 for ef, _, ev in _fields(pv):
                     if ef == 1:
                         mid = ev
@@ -87,7 +87,9 @@ def _parse_events_fallback(path):
                                 mid = mv
                             elif mf == 2:
                                 mname = mv.decode("utf-8", "replace")
-                metadata[mid] = mname
+                            elif mf == 3:  # display_name: HLO op text
+                                mdisp = mv.decode("utf-8", "replace")
+                metadata[mid] = mdisp or mname
         for line in lines:
             line_name = ""
             per_op = collections.Counter()

@@ -327,6 +327,15 @@ class ExperimentCfg:
     # scenarios for the K-futures workload. HPTR mode only; semantics-equal
     # (tests/test_tl_prepass.py), measured on-chip in docs/PERF.md chain10.
     tl_prepass: bool = True
+    # K-futures static-token dedup: the joint-future rollout keeps ONE copy of
+    # the map/TL tokens per unique scenario and folds the K replicas into the
+    # agent axis of the per-step gathers (sim/rollout.py token_rep) instead of
+    # physically replicating the 32x map features. Bit-identical outputs;
+    # requires the TL pre-pass. Default OFF on measurement: 373.7k vs 383.3k
+    # agent-steps/s on v5e (-2.5%) — a TPU gather reads only the rows it
+    # emits, so shrinking the SOURCE tensor saves almost no bandwidth while
+    # the replica-folding reshapes add real work (PERF.md chain12).
+    rollout_token_dedup: bool = False
 
     data: DataCfg = _d(DataCfg)
     model: ModelCfg = _d(ModelCfg)

@@ -115,20 +115,36 @@ class AgentEncoder(nn.Module):
     def n_knn_ag2tl(self) -> int:
         return int(self.n_tgt_knn * self.cfg.k_tgt_knn_ag2tl)
 
-    def _knn(self, src_invalid, src_pose, tgt_invalid, tgt_pose, tgt_feature, n_knn, gather_feature=True):
-        """KNN of one relation. Returns dict(tgt/idx, invalid, rpe)."""
+    def _knn(self, src_invalid, src_pose, tgt_invalid, tgt_pose, tgt_feature, n_knn,
+             gather_feature=True, tgt_rep=1):
+        """KNN of one relation. Returns dict(tgt/idx, invalid, rpe).
+
+        tgt_rep > 1: the targets are static tokens shared by tgt_rep
+        consecutive source rows (K-futures map/TL dedup, PERF.md chain12) —
+        tgt_* then carry the unique scenarios [n_sc // tgt_rep, ...]; the
+        selection is bit-identical and the feature/pose gathers read the
+        unique tensors."""
         limit = self.dist_limit * self.cfg.k_dist_limit
         if self.pairwise_relative:
             # lazy variant: SE(2) localization only for the K winners
-            idx, invalid, rpe = get_tgt_knn_lazy(src_pose, src_invalid, tgt_pose, tgt_invalid, n_knn, limit)
+            idx, invalid, rpe = get_tgt_knn_lazy(
+                src_pose, src_invalid, tgt_pose, tgt_invalid, n_knn, limit, tgt_rep=tgt_rep)
         else:
-            rel_dist = get_rel_dist(src_pose[..., :2], src_invalid, tgt_pose[..., :2], tgt_invalid)
-            idx, invalid, rpe = get_tgt_knn(tgt_invalid, None, rel_dist, n_knn, limit)
+            if tgt_rep > 1:
+                n_u = tgt_pose.shape[0]
+                brd = lambda x: jnp.broadcast_to(
+                    x[:, None], (n_u, tgt_rep) + x.shape[1:]
+                ).reshape((n_u * tgt_rep,) + x.shape[1:])
+                tgt_invalid_f, tgt_pose_f = brd(tgt_invalid), brd(tgt_pose)
+            else:
+                tgt_invalid_f, tgt_pose_f = tgt_invalid, tgt_pose
+            rel_dist = get_rel_dist(src_pose[..., :2], src_invalid, tgt_pose_f[..., :2], tgt_invalid_f)
+            idx, invalid, rpe = get_tgt_knn(tgt_invalid_f, None, rel_dist, n_knn, limit)
         out = {"idx": idx, "invalid": invalid, "rpe": None}
         if self.pairwise_relative:
             out["rpe"] = apply_pose_emb(self.pose_rpe, rpe[..., :2], rpe[..., 2:3])
         if gather_feature:
-            out["tgt"] = gather_tgt(tgt_feature, idx)
+            out["tgt"] = gather_tgt(tgt_feature, idx, tgt_rep=tgt_rep)
         return out
 
     def _knn_self(self, invalid, pose, n_knn):
@@ -181,13 +197,17 @@ class AgentEncoder(nn.Module):
         rnn_hidden: Optional[jnp.ndarray] = None,
         called_by_latent_encoder: bool = False,
         deterministic: bool = True,
+        token_rep: int = 1,  # map/TL tokens carry unique scenarios, shared by
+        # token_rep consecutive agent rows (K-futures dedup; HPTR path only)
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         if self.temp_window_size > 0:
             out = self._forward_hptr(
                 ag_valid, ag_attr, ag_motion, ag_pose, mp_tokens,
                 tl_token_invalid, tl_token_feature, tl_token_pose, deterministic,
+                token_rep=token_rep,
             )
             return out, None
+        assert token_rep == 1, "token dedup is only wired for the HPTR path"
         if called_by_latent_encoder:
             out = self._forward_rnn_latent(
                 ag_valid, ag_attr, ag_motion, ag_pose, mp_tokens,
@@ -203,16 +223,19 @@ class AgentEncoder(nn.Module):
     def _forward_hptr(
         self, ag_valid, ag_attr, ag_motion, ag_pose, mp_tokens,
         tl_token_invalid, tl_token_feature, tl_token_pose, deterministic,
+        token_rep=1,
     ):
         ag_invalid = ~ag_valid
         ag_token_invalid = ~jnp.any(ag_valid, axis=-1)
         ag_token_pose = seq_pooling(ag_pose, ag_invalid, "last_valid")
 
         knn_ag2mp = self._knn(
-            ag_token_invalid, ag_token_pose, mp_tokens.invalid, mp_tokens.pose, mp_tokens.feature, self.n_knn_ag2mp
+            ag_token_invalid, ag_token_pose, mp_tokens.invalid, mp_tokens.pose, mp_tokens.feature, self.n_knn_ag2mp,
+            tgt_rep=token_rep,
         )
         knn_ag2tl = self._knn(
-            ag_token_invalid, ag_token_pose, tl_token_invalid, tl_token_pose, tl_token_feature, self.n_knn_ag2tl
+            ag_token_invalid, ag_token_pose, tl_token_invalid, tl_token_pose, tl_token_feature, self.n_knn_ag2tl,
+            tgt_rep=token_rep,
         )
         knn_ag2ag = self._knn_self(ag_token_invalid, ag_token_pose, self.n_knn_ag2ag)
 

@@ -50,18 +50,29 @@ class NaviEncoder(nn.Module):
         return self.navi_mode in ("dest", "goal") and self.pairwise_relative
 
     @nn.compact
-    def __call__(self, ag_navi, ag_pose, mp_tokens: MapTokens, deterministic: bool = True):
+    def __call__(self, ag_navi, ag_pose, mp_tokens: MapTokens, deterministic: bool = True,
+                 mp_rep: int = 1):
         if self.navi_mode == "dummy":
             return None
         if self.navi_mode == "dest":
+            # mp_rep > 1: mp_tokens carry the UNIQUE scenarios shared by
+            # mp_rep consecutive agent rows (K-futures dedup, sim/rollout.py)
+            # — fold the replicas into the agent axis for the per-dest gathers
             mp_feat = mp_tokens.feature
             if self.cfg.dest_detach_mp_feature:
                 mp_feat = jax.lax.stop_gradient(mp_feat)
             idx = jnp.clip(ag_navi, 0, mp_feat.shape[1] - 1).astype(jnp.int32)
+            n_sc, n_ag = idx.shape
+            if mp_rep > 1:
+                idx = idx.reshape(n_sc // mp_rep, mp_rep * n_ag)
             feat = jnp.take_along_axis(mp_feat, idx[..., None], axis=1)
+            if mp_rep > 1:
+                feat = feat.reshape(n_sc, n_ag, feat.shape[-1])
             feat = MLP([self.hidden_dim], end_layer_activation=False, dtype=self.dtype, name="mlp_mp")(feat)
             if self.pairwise_relative:
                 dest_pose = jnp.take_along_axis(mp_tokens.pose, idx[..., None], axis=1)
+                if mp_rep > 1:
+                    dest_pose = dest_pose.reshape(n_sc, n_ag, dest_pose.shape[-1])
                 xy = pos2local(
                     dest_pose[:, :, None, :2], ag_pose[:, :, None, :2], rad2rot(ag_pose[..., 2])
                 )[:, :, 0]

@@ -158,6 +158,9 @@ class TrafficBots(nn.Module):
         tl_rnn_hidden=None,
         deterministic: bool = True,
         tl_token_feature=None,  # [n_sc, n_tl, D] precomputed by the TL pre-pass
+        token_rep: int = 1,  # K-futures dedup: mp_tokens / tl inputs carry the
+        # UNIQUE scenarios [n_sc // token_rep, ...] shared by token_rep
+        # consecutive agent rows (sim/rollout.py, PERF.md chain12)
     ) -> Tuple[DiagGaussian, jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         """One simulation step (traffic_bots.py:151-221).
 
@@ -166,10 +169,14 @@ class TrafficBots(nn.Module):
         skipped and tl_state_logits is None (the pre-pass already has them).
         """
         navi_feature = self.navi_encoder(
-            ag_navi, hist_ag_pose[:, :, -1], mp_tokens, deterministic=deterministic
+            ag_navi, hist_ag_pose[:, :, -1], mp_tokens, deterministic=deterministic,
+            mp_rep=token_rep,
         )
 
         tl_precomputed = tl_token_feature is not None
+        assert token_rep == 1 or tl_precomputed, (
+            "token dedup requires the TL pre-pass (the in-scan TL encoder "
+            "consumes the full-batch history window)")
         if not tl_precomputed:
             tl_token_feature = self.tl_encoder(
                 hist_tl_state, tl_tokens, step_invalid=hist_step_invalid, deterministic=deterministic
@@ -188,6 +195,7 @@ class TrafficBots(nn.Module):
             tl_token_pose=tl_tokens.pose,
             rnn_hidden=rnn_hidden,
             deterministic=deterministic,
+            token_rep=token_rep,
         )
 
         ag_feature = self.add_navi(ag_feature, navi_feature, ag_navi_valid, deterministic=deterministic)

@@ -180,6 +180,7 @@ def get_tgt_knn_lazy(
     tgt_invalid: jnp.ndarray,
     n_tgt_knn: int,
     dist_limit,
+    tgt_rep: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """get_rel_pose + get_tgt_knn fused, with SE(2) math on the K winners only.
 
@@ -190,11 +191,28 @@ def get_tgt_knn_lazy(
     [n_src, n_tgt, 3] rel_pose tensor is never materialized. Numerically
     equivalent to the eager pair up to distance-tie ordering.
 
+    tgt_rep > 1: the targets are static tokens shared by tgt_rep consecutive
+    source rows (the K-futures WOSAC workload replicates each scenario's map
+    K times) — tgt_pose/tgt_invalid then carry the UNIQUE scenarios
+    [n_sc // tgt_rep, n_tgt, ...]. Selection runs on a virtual broadcast
+    (values identical per row, so bit-identical results); the K-winner pose
+    gather reads the small unique tensor instead of a K-times replicated one
+    (docs/PERF.md chain12).
+
     Returns (idx_tgt [n_sc,n_src,K] int32, tgt_invalid_knn [n_sc,n_src,K],
     rpe [n_sc,n_src,K,3]).
     """
     src_pose = jax.lax.stop_gradient(src_pose)
     tgt_pose = jax.lax.stop_gradient(tgt_pose)
+    tgt_pose_u = tgt_pose  # unique targets (== tgt_pose when tgt_rep == 1)
+    if tgt_rep > 1:
+        n_u = tgt_pose.shape[0]
+        assert src_pose.shape[0] == n_u * tgt_rep, (src_pose.shape, n_u, tgt_rep)
+        rep = lambda x: jnp.broadcast_to(
+            x[:, None], (n_u, tgt_rep) + x.shape[1:]
+        ).reshape((n_u * tgt_rep,) + x.shape[1:])
+        tgt_pose = rep(tgt_pose)
+        tgt_invalid = rep(tgt_invalid)
     src_xy, src_yaw = src_pose[..., :2], src_pose[..., 2]
     tgt_xy = tgt_pose[..., :2]
 
@@ -252,8 +270,9 @@ def get_tgt_knn_lazy(
 
     # routed through gather_tgt: no backward concern (stop_gradient), but the
     # native row gather runs ~30 GB/s inside the rollout scan body — inside
-    # onehot_gather_scope the one-hot matmul variant is used for speed
-    tgt_pose_knn = gather_tgt(tgt_pose, idx_tgt)
+    # onehot_gather_scope the one-hot matmul variant is used for speed.
+    # With tgt_rep > 1 the gather reads the unique-scenario pose tensor.
+    tgt_pose_knn = gather_tgt(tgt_pose_u, idx_tgt, tgt_rep=tgt_rep)
     local_xy = pos2local(tgt_pose_knn[..., :2], src_xy[:, :, None, :], rad2rot(src_yaw))
     local_yaw = rad2local(tgt_pose_knn[..., 2], src_yaw, cast=False)
     rpe = jnp.concatenate([local_xy, local_yaw[..., None]], axis=-1)
@@ -281,11 +300,14 @@ def onehot_gather_scope(enabled: bool = True):
         _ONEHOT_GATHER_SCOPE[0] = prev
 
 
-def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
+def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray, tgt_rep: int = 1) -> jnp.ndarray:
     """Gather per-source target features.
 
     Args:
-        feature: [n_sc, n_tgt, d]
+        feature: [n_sc, n_tgt, d] — or the UNIQUE scenarios
+            [n_sc // tgt_rep, n_tgt, d] when tgt_rep > 1 (K-futures dedup:
+            each unique scenario's static tokens serve tgt_rep consecutive
+            source rows; the gather then reads a K-times smaller tensor).
         idx_tgt: [n_sc, n_src, K]
     Returns:
         [n_sc, n_src, K, d]
@@ -300,6 +322,12 @@ def gather_tgt(feature: jnp.ndarray, idx_tgt: jnp.ndarray) -> jnp.ndarray:
     one-hot cost. TB_NARROW_GATHER_NATIVE=1 re-enables that routing for
     future A/Bs (e.g. if the scan body shrinks).
     """
+    if tgt_rep > 1:
+        n_u = feature.shape[0]
+        n_sc, n_src, k = idx_tgt.shape
+        assert n_sc == n_u * tgt_rep, (feature.shape, idx_tgt.shape, tgt_rep)
+        out = gather_tgt(feature, idx_tgt.reshape(n_u, tgt_rep * n_src, k))
+        return out.reshape(n_sc, n_src, k, feature.shape[-1])
     if _ONEHOT_GATHER_SCOPE[0]:
         from trafficbotsv15_tpu.ops import flags
 

@@ -153,6 +153,12 @@ def rollout(
     # scenario; the body repeats to the K-replicated batch). When given, the
     # scan body skips the TL encoder/predictor and the TL window carry.
     tl_precomputed: Optional[Dict[str, jnp.ndarray]] = None,
+    # K-futures static-token dedup (PERF.md chain12): mp_tokens / tl_tokens
+    # carry the UNIQUE scenarios [n_sc // token_rep, ...] shared by token_rep
+    # consecutive rollout rows; the per-step map/TL feature+pose gathers then
+    # read K-times smaller tensors. Requires the TL pre-pass (the rule
+    # checker statics stay at the full batch — built by the caller).
+    token_rep: int = 1,
 ) -> RolloutBuffer:
     """Run the closed-loop simulation from step 1 to step_end inclusive.
 
@@ -186,6 +192,11 @@ def rollout(
     gt_motion_prev = _pad_gt_to(jnp.roll(gt_motion, 1, axis=2), n_step_roll)
 
     tl_pre = tl_precomputed is not None
+    assert token_rep == 1 or tl_pre, "token dedup requires the TL pre-pass"
+    if token_rep > 1:
+        assert mp_tokens.feature.shape[0] * token_rep == n_sc, (
+            f"unique map batch {mp_tokens.feature.shape[0]} x rep {token_rep}"
+            f" != rollout batch {n_sc}")
     if tl_pre:
         assert cfg.model.temp_window_size > 0, "TL pre-pass requires HPTR mode"
         n_sc_u = tl_precomputed["feature"].shape[1]
@@ -195,6 +206,7 @@ def rollout(
             f"prepass step count {tl_precomputed['feature'].shape[0]} != "
             f"rollout steps {n_step_roll}")
         tl_rep = n_sc // n_sc_u
+        assert token_rep in (1, tl_rep), (token_rep, tl_rep)
 
     xs = dict(
         tf_valid=to_steps(tf_valid),
@@ -234,6 +246,9 @@ def rollout(
     repredict_navi = bool(cfg.pred_navi_after_reached) and navi_mode in ("dest", "goal")
     if repredict_navi:
         assert navi_update_inputs is not None, "pred_navi_after_reached needs map arrays"
+        assert token_rep == 1, (
+            "token dedup not wired through the in-scan NaviPredictor; "
+            "callers gate dedup off when pred_navi_after_reached is set")
 
     # ---- initial carry: state at step 0 (dynamics.py:29-64)
     carry = SimCarry(
@@ -275,7 +290,11 @@ def rollout(
             tl_feature_pre = x["tl_feature_pre"]
             tl_state_pre = x["tl_state_pre"]
             if tl_rep > 1:
-                tl_feature_pre = jnp.repeat(tl_feature_pre, tl_rep, axis=0)
+                # token dedup: the model consumes the UNIQUE TL feature (the
+                # ag2tl gather folds the replicas into the agent axis); only
+                # the TL state — fed to the full-batch rule checker — repeats
+                if token_rep == 1:
+                    tl_feature_pre = jnp.repeat(tl_feature_pre, tl_rep, axis=0)
                 tl_state_pre = jnp.repeat(tl_state_pre, tl_rep, axis=0)
         else:
             hist_tl = jnp.concatenate([c.hist_tl_state[:, :, 1:], sg(c.tl_state)[:, :, None]], axis=2)
@@ -314,6 +333,7 @@ def rollout(
             deterministic=not train,
             method="step",
             rngs=rngs,
+            token_rep=token_rep,
         )
 
         # sample action, integrate dynamics (dynamics.py:66-120)
@@ -511,7 +531,11 @@ def rollout(
         nll_all = -jnp.sum(logp * jax.nn.one_hot(gt_tl_idx, logp.shape[-1], dtype=logp.dtype), axis=-1)
         nll_all = jnp.where(tl_avail[:, None, None], nll_all, 0.0)
         outs["tl_state_nll"] = nll_all
-        outs["tl_state_nll_invalid"] = tl_tokens.invalid[None] | ~tl_avail[:, None, None]
+        # tl_tokens are unique under token dedup — repeat the mask to the
+        # full rollout batch like the logits above
+        tl_token_invalid = (jnp.repeat(tl_tokens.invalid, token_rep, axis=0)
+                            if token_rep > 1 else tl_tokens.invalid)
+        outs["tl_state_nll_invalid"] = tl_token_invalid[None] | ~tl_avail[:, None, None]
         outs["tl_state"] = state_pre
 
     return RolloutBuffer(

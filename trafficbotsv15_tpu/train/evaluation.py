@@ -137,10 +137,21 @@ def joint_future_pred(
             cfg.model.temp_window_size, deterministic=True,
         )
 
-    # repeat everything K times along the scenario axis
-    mp_tokens = jax.tree_util.tree_map(lambda x: _repeat(x, k), mp_tokens)
-    tl_tokens = jax.tree_util.tree_map(lambda x: _repeat(x, k), tl_tokens)
+    # repeat everything K times along the scenario axis. With token dedup the
+    # map/TL tokens stay UNIQUE — the rollout folds the K replicas into the
+    # agent axis of the per-step gathers (sim/rollout.py token_rep), which
+    # read K-times smaller tensors for bit-identical results (PERF.md
+    # chain12). Requires the TL pre-pass (the in-scan TL encoder path and the
+    # in-scan NaviPredictor are not wired for unique tokens).
     rep = lambda x: _repeat(x, k)
+    token_rep = 1
+    tl_valid_full, tl_pose_full = rep(tl_tokens.valid), rep(tl_tokens.pose)
+    if (cfg.rollout_token_dedup and tl_pre is not None
+            and not cfg.pred_navi_after_reached):
+        token_rep = k
+    else:
+        mp_tokens = jax.tree_util.tree_map(lambda x: _repeat(x, k), mp_tokens)
+        tl_tokens = jax.tree_util.tree_map(lambda x: _repeat(x, k), tl_tokens)
 
     n_sc, n_ag = pp.ag_valid.shape[:2]
     if cfg.joint_future_pred_deterministic_k0:
@@ -177,7 +188,7 @@ def joint_future_pred(
         mp_boundary=rep(batch["map/boundary"]), mp_valid=rep(batch["map/valid"]),
         mp_type=rep(batch["map/type"]).astype(bool), mp_pos=rep(batch["map/pos"]),
         mp_dir=rep(batch["map/dir"]), ag_type=rep(pp.ag_type), ag_size=rep(pp.ag_size),
-        tl_valid=tl_tokens.valid, tl_pose=tl_tokens.pose, ag_goal=ag_goal, ag_dest=ag_dest,
+        tl_valid=tl_valid_full, tl_pose=tl_pose_full, ag_goal=ag_goal, ag_dest=ag_dest,
     )
     # joint future: GT = history only (spawn/warm-start <= step 10)
     gt_valid, gt_pose, gt_motion = rep(pp.ag_valid), rep(pp.ag_pose), rep(pp.ag_motion)
@@ -198,6 +209,7 @@ def joint_future_pred(
         navi_update_inputs=_navi_update_inputs(cfg, batch, rep),
         tf_cfg=cfg.teacher_forcing_joint_future_pred,
         tl_precomputed=tl_pre,
+        token_rep=token_rep,
     )
     buffer = rollout_lib.compute_log_prob(buffer, latent_log_prob)
     return pp, buffer.flatten_joint_future(k)
