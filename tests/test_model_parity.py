@@ -298,6 +298,7 @@ def test_dist_encoder_variant_parity():
     close(dist.std, outs["std"], atol=2e-5, rtol=1e-3, name="branch std")
 
 
+@pytest.mark.slow  # torch-side goal/cmd heads compile two full track encoders
 @pytest.mark.parametrize("name,navi_mode,w", [
     ("navi_pred_goal_rnn", "goal", -1),
     ("navi_pred_cmd_hptr", "cmd", 11),
@@ -339,6 +340,7 @@ def test_navi_predictor_goal_cmd_parity(name, navi_mode, w):
         close(dist.probs, outs["probs"], atol=1e-5, rtol=1e-3, name="cmd probs")
 
 
+@pytest.mark.slow
 def test_tl_encoder_stacked_parity():
     """Stacked-input TL encoder (traffic_light.py:210-240, temp_stack_input=True)
     with a 7-step window (left-zero-padding path)."""

@@ -46,6 +46,7 @@ def _buffers_close(b0, b1, atol, mismatch_frac=0.0):
             assert bad.mean() <= mismatch_frac, (bad.mean(), np.abs(a - b).max())
 
 
+@pytest.mark.slow
 def test_joint_future_parity(setup):
     """Free-running regime: TL leaves the GT horizon after 11 steps and
     evolves via the predictor — pre-pass on un-replicated scenarios must

@@ -58,6 +58,7 @@ def setup():
     return cfg, batch, model, params
 
 
+@pytest.mark.slow
 def test_joint_future_bit_parity(setup):
     """Full joint-future rollout, dedup on vs off: every buffer leaf bit-equal
     (the dedup only reshapes which axis carries the future replicas; all
@@ -74,6 +75,7 @@ def test_joint_future_bit_parity(setup):
         assert jnp.array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_dedup_gates_off_without_prepass(setup):
     """rollout_token_dedup without the TL pre-pass must fall back to the
     replicated path (the in-scan TL encoder consumes full-batch windows)."""
