@@ -1,0 +1,372 @@
+#!/usr/bin/env python
+"""Generate SIM-level parity goldens from the reference's ACTUAL torch code.
+
+Runs /root/reference/src/utils/{wosac_collision,rewards,traffic_rule_checker,
+pose_emb}.py (plain torch, CPU) on synthetic scenes and saves
+(inputs, outputs) npz files under tests/golden/sim/. tests/test_sim_parity.py
+replays each case through the jax stack and asserts numeric parity — the same
+offline-golden pattern as scripts/gen_model_golden.py (model modules) and
+scripts/gen_etl_golden.py (ETL).
+
+These close the last vs-reference gap below the model layer: until now the
+collision / reward / rule-checker / pose-embedding code had only
+internal-consistency tests (e.g. SoA-vs-AoS), so a sign flip replicated on
+both sides of a refactor would have been invisible.
+
+Cases:
+  pose_emb_{xy_dir,mpa_pl,pe_xy_dir,pe_xy_yaw}  x  {yaw, dir} input forms
+      (src/utils/pose_emb.py:7-89)
+  wosac_collision — bbox corners + signed pairwise distances + collided mask
+      on a scene engineered to contain overlaps (src/utils/wosac_collision.py)
+  diffbar_reward_{il,coll_max,coll_mean} — the flagship IL reward and both
+      5-circle collision reductions (src/utils/rewards.py:35-154)
+  rule_checker — a 30-step scripted scenario driving all 8 checks through the
+      stateful reference TrafficRuleChecker; every *_this_step / accumulated
+      key recorded per step (src/utils/traffic_rule_checker.py:342-451)
+
+Usage: python scripts/gen_sim_golden.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import torch
+
+
+class DotDict(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+
+_om = types.ModuleType("omegaconf")
+_om.DictConfig = DotDict
+sys.modules.setdefault("omegaconf", _om)
+sys.modules.setdefault("transforms3d", types.ModuleType("transforms3d"))
+sys.path.insert(0, "/root/reference/src")
+
+from utils.pose_emb import PoseEmb  # noqa: E402
+from utils.rewards import DifferentiableReward  # noqa: E402
+from utils.traffic_rule_checker import TrafficRuleChecker  # noqa: E402
+from utils.wosac_collision import (  # noqa: E402
+    _minkowski_sum_of_box_and_box_points,
+    _signed_distance_from_point_to_convex_polygon,
+    check_collided_wosac,
+    get_ag_bbox,
+)
+
+OUT = Path(__file__).resolve().parents[1] / "tests" / "golden" / "sim"
+RNG = np.random.default_rng(20260820)
+
+
+def _np(x):
+    if isinstance(x, torch.Tensor):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def save(name, inputs, outputs, meta=None):
+    arrs = {}
+    for k, v in inputs.items():
+        if v is not None:
+            arrs[f"in/{k}"] = _np(v)
+    for k, v in outputs.items():
+        if v is not None:
+            arrs[f"out/{k}"] = _np(v)
+    arrs["meta"] = np.frombuffer(json.dumps(meta or {}).encode(), dtype=np.uint8)
+    OUT.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(OUT / f"{name}.npz", **arrs)
+    print(f"  {name}: {len(arrs)} arrays")
+
+
+def t32(a):
+    return torch.tensor(np.asarray(a, np.float32))
+
+
+# ---------------------------------------------------------------- pose emb
+
+
+def gen_pose_emb():
+    xy = (RNG.standard_normal((3, 5, 2)) * 20).astype(np.float32)
+    yaw = (RNG.uniform(-np.pi, np.pi, (3, 5, 1))).astype(np.float32)
+    dvec = np.concatenate([np.cos(yaw), np.sin(yaw)], -1)
+    # mpa_pl consumes (segment start, segment vec) — small magnitudes
+    seg_start = (RNG.standard_normal((3, 5, 2)) * 4).astype(np.float32)
+    seg_vec = (RNG.standard_normal((3, 5, 2)) * 2).astype(np.float32)
+    for mode in ["xy_dir", "mpa_pl", "pe_xy_dir", "pe_xy_yaw"]:
+        m = PoseEmb(mode=mode, pe_dim=64, theta_xy=1e3, theta_cs=1e1).eval()
+        if mode == "mpa_pl":
+            out_yaw = m(t32(seg_start), t32(yaw))
+            out_dir = m(t32(seg_start), t32(seg_vec))
+            save(f"pose_emb_{mode}",
+                 dict(xy=seg_start, yaw=yaw, dvec=seg_vec),
+                 dict(out_yaw=out_yaw, out_dir=out_dir), dict(mode=mode, pe_dim=64))
+        else:
+            out_yaw = m(t32(xy), t32(yaw))
+            out_dir = m(t32(xy), t32(dvec))
+            save(f"pose_emb_{mode}",
+                 dict(xy=xy, yaw=yaw, dvec=dvec),
+                 dict(out_yaw=out_yaw, out_dir=out_dir), dict(mode=mode, pe_dim=64))
+
+
+# ---------------------------------------------------------- wosac collision
+
+
+def gen_wosac_collision():
+    n_sc, n_ag = 3, 8
+    # cluster positions in a 25 m box so several pairs genuinely overlap
+    pose = np.zeros((n_sc, n_ag, 3), np.float32)
+    pose[..., :2] = RNG.uniform(-12, 12, (n_sc, n_ag, 2))
+    pose[..., 2] = RNG.uniform(-np.pi, np.pi, (n_sc, n_ag))
+    # force two exact near-overlaps per scene
+    pose[:, 1, :2] = pose[:, 0, :2] + np.float32([1.0, 0.3])
+    pose[:, 3, :2] = pose[:, 2, :2] + np.float32([0.2, 2.0])
+    size = np.zeros((n_sc, n_ag, 3), np.float32)
+    size[..., 0] = RNG.uniform(3.5, 6.0, (n_sc, n_ag))  # length
+    size[..., 1] = RNG.uniform(1.6, 2.4, (n_sc, n_ag))  # width
+    size[..., 2] = 1.8
+    valid = RNG.random((n_sc, n_ag)) < 0.85
+    valid[:, :4] = True
+
+    pose_t, size_t, valid_t = t32(pose), t32(size), torch.tensor(valid)
+    bbox = get_ag_bbox(pose_t, size_t[..., :2])
+    collided = check_collided_wosac(pose_t, size_t, valid_t)
+    # signed pairwise distances straight from the reference internals (the
+    # strictest float-level comparison, before the boolean threshold)
+    shrink = torch.min(size_t[:, :, 0], size_t[:, :, 1]) * 0.7 / 2.0
+    corners = get_ag_bbox(pose_t, size_t[:, :, :2] - 2.0 * shrink.unsqueeze(-1))
+    ev = corners.unsqueeze(2).expand(-1, -1, n_ag, -1, -1).flatten(1, 2)
+    al = corners.unsqueeze(1).expand(-1, n_ag, -1, -1, -1).flatten(1, 2)
+    mink = _minkowski_sum_of_box_and_box_points(ev, -1.0 * al)
+    sd = _signed_distance_from_point_to_convex_polygon(
+        torch.zeros_like(mink[:, :, 0, :]), mink).view(n_sc, n_ag, n_ag)
+    sd = sd - shrink.unsqueeze(1) - shrink.unsqueeze(2)
+    save("wosac_collision",
+         dict(pose=pose, size=size, valid=valid),
+         dict(bbox=bbox, signed_dist=sd, collided=collided))
+
+
+# ---------------------------------------------------------------- rewards
+
+
+def _reward_cfgs():
+    l_pos = DotDict(weight=1e-1, criterion="SmoothL1Loss")
+    l_rot = DotDict(weight=1e1, criterion="SmoothL1Loss", angular_type="cosine")
+    l_spd = DotDict(weight=1e-1, criterion="SmoothL1Loss")
+    return l_pos, l_rot, l_spd
+
+
+def gen_rewards():
+    n_sc, n_ag = 3, 10
+    pred_valid = RNG.random((n_sc, n_ag)) < 0.85
+    gt_valid = RNG.random((n_sc, n_ag)) < 0.85
+    pred_pose = np.zeros((n_sc, n_ag, 3), np.float32)
+    pred_pose[..., :2] = RNG.uniform(-15, 15, (n_sc, n_ag, 2))
+    pred_pose[..., 2] = RNG.uniform(-np.pi, np.pi, (n_sc, n_ag))
+    gt_pose = pred_pose + (RNG.standard_normal((n_sc, n_ag, 3)) * [2.0, 2.0, 0.7]).astype(np.float32)
+    pred_motion = (RNG.standard_normal((n_sc, n_ag, 3)) * 3).astype(np.float32)
+    gt_motion = pred_motion + (RNG.standard_normal((n_sc, n_ag, 3)) * 1.5).astype(np.float32)
+    size = np.zeros((n_sc, n_ag, 3), np.float32)
+    size[..., 0] = RNG.uniform(3.5, 6.0, (n_sc, n_ag))
+    size[..., 1] = RNG.uniform(1.6, 2.4, (n_sc, n_ag))
+    # overlap a pair so the 5-circle penalty is non-trivially nonzero
+    pred_pose[:, 1, :2] = pred_pose[:, 0, :2] + np.float32([0.8, 0.2])
+
+    l_pos, l_rot, l_spd = _reward_cfgs()
+    ins = dict(pred_valid=pred_valid, pred_pose=pred_pose, pred_motion=pred_motion,
+               gt_valid=gt_valid, gt_pose=gt_pose, gt_motion=gt_motion, size=size)
+    args = [torch.tensor(pred_valid), t32(pred_pose), t32(pred_motion),
+            torch.tensor(gt_valid), t32(gt_pose), t32(gt_motion), t32(size)]
+
+    for name, w_coll, red_max in [("il", 0.0, True), ("coll_max", 1.0, True),
+                                  ("coll_mean", 1.0, False)]:
+        r = DifferentiableReward(l_pos, l_rot, l_spd, w_collision=w_coll,
+                                 use_il_loss=True, reduce_collsion_with_max=red_max,
+                                 is_enabled=True)
+        out = r.get(*args)
+        save(f"diffbar_reward_{name}", ins, out,
+             dict(w_collision=w_coll, reduce_max=red_max))
+
+
+# ------------------------------------------------------------ rule checker
+
+
+def _build_scene():
+    """Two scenes: scene 0 scripted to fire every check, scene 1 random."""
+    n_sc, n_ag, n_mp, n_node, n_tl, n_type = 2, 8, 24, 20, 6, 11
+    mp_valid = np.zeros((n_sc, n_mp, n_node), bool)
+    mp_type = np.zeros((n_sc, n_mp, n_type), bool)
+    mp_pos = np.zeros((n_sc, n_mp, n_node, 2), np.float32)
+    mp_dir = np.zeros((n_sc, n_mp, n_node, 2), np.float32)
+    for s in range(n_sc):
+        for p in range(n_mp):
+            n_val = int(RNG.integers(8, n_node + 1))
+            mp_valid[s, p, :n_val] = True
+            ty = [0, 1, 2, 4, 5, 7, 15 % 11, 9, 10][p % 9]
+            mp_type[s, p, ty] = True
+            start = RNG.uniform(-40, 40, 2)
+            heading = RNG.uniform(-np.pi, np.pi)
+            step = np.float32([np.cos(heading), np.sin(heading)]) * 2.0
+            pts = start[None] + np.arange(n_node)[:, None] * step[None]
+            mp_pos[s, p] = pts
+            mp_dir[s, p] = step[None]
+    # scene 0: polyline 0 = straight lane along +x through origin (lane center
+    # for the passive check); polyline 3 = road edge crossing x=20
+    mp_pos[0, 0] = np.stack([np.arange(n_node) * 2.0 - 20.0, np.zeros(n_node)], -1)
+    mp_dir[0, 0] = np.float32([2.0, 0.0])[None]
+    mp_type[0, 0] = False
+    mp_type[0, 0, 1] = True  # lane
+    mp_pos[0, 3] = np.stack([np.full(n_node, 20.0), np.arange(n_node) * 2.0 - 20.0], -1)
+    mp_dir[0, 3] = np.float32([0.0, 2.0])[None]
+    mp_type[0, 3] = False
+    mp_type[0, 3, 4] = True  # road edge
+    mp_valid[0, 0] = mp_valid[0, 3] = True
+
+    mp_boundary = np.tile(np.float32([-50, 50, -50, 50]), (n_sc, 1))
+
+    ag_type = np.zeros((n_sc, n_ag, 3), bool)
+    ag_type[:, :6, 0] = True  # vehicles
+    ag_type[:, 6, 1] = True   # ped
+    ag_type[:, 7, 2] = True   # cyc
+    ag_size = np.zeros((n_sc, n_ag, 3), np.float32)
+    ag_size[..., 0] = RNG.uniform(4.0, 5.5, (n_sc, n_ag))
+    ag_size[..., 1] = RNG.uniform(1.8, 2.2, (n_sc, n_ag))
+    ag_size[:, 6:, 0] = 1.0
+    ag_size[:, 6:, 1] = 1.0
+
+    ag_goal = np.zeros((n_sc, n_ag, 4), np.float32)
+    ag_goal[..., :2] = RNG.uniform(-30, 30, (n_sc, n_ag, 2))
+    ag_goal[..., 2] = RNG.uniform(-np.pi, np.pi, (n_sc, n_ag))
+    ag_goal[0, 5] = np.float32([5.0, 5.0, 0.5, 0.0])  # agent 5 reaches this
+
+    ag_dest = RNG.integers(0, n_mp, (n_sc, n_ag)).astype(np.int64)
+    ag_dest[0, 5] = 0  # lane dest near agent 5's path
+
+    tl_valid = np.ones((n_sc, n_tl), bool)
+    tl_valid[:, 5] = False
+    tl_pose = np.zeros((n_sc, n_tl, 3), np.float32)
+    tl_pose[..., :2] = RNG.uniform(-30, 30, (n_sc, n_tl, 2))
+    tl_pose[..., 2] = RNG.uniform(-np.pi, np.pi, (n_sc, n_tl))
+    tl_pose[0, 0] = np.float32([10.0, 0.0, 0.0])  # red light on agent 4's path
+
+    return dict(mp_boundary=mp_boundary, mp_valid=mp_valid, mp_type=mp_type,
+                mp_pos=mp_pos, mp_dir=mp_dir, ag_type=ag_type, ag_size=ag_size,
+                ag_goal=ag_goal, ag_dest=ag_dest, tl_valid=tl_valid, tl_pose=tl_pose)
+
+
+def _script_trajectories(scene, T=30):
+    n_sc, n_ag = scene["ag_type"].shape[:2]
+    valid = np.ones((T, n_sc, n_ag), bool)
+    valid[:, :, 7] = RNG.random((T, n_sc)) < 0.8
+    pose = np.zeros((T, n_sc, n_ag, 3), np.float32)
+    motion = np.zeros((T, n_sc, n_ag, 3), np.float32)
+    # base: random walks
+    pose[0, :, :, :2] = RNG.uniform(-25, 25, (n_sc, n_ag, 2))
+    pose[0, :, :, 2] = RNG.uniform(-np.pi, np.pi, (n_sc, n_ag))
+    vel = RNG.uniform(0.5, 4.0, (n_sc, n_ag))
+    for t in range(1, T):
+        pose[t] = pose[t - 1]
+        pose[t, :, :, 0] += (vel * np.cos(pose[t - 1, :, :, 2]) * 0.1).astype(np.float32)
+        pose[t, :, :, 1] += (vel * np.sin(pose[t - 1, :, :, 2]) * 0.1).astype(np.float32)
+        pose[t, :, :, 2] += (RNG.standard_normal((n_sc, n_ag)) * 0.05).astype(np.float32)
+    motion[..., 0] = vel[None]
+    motion[..., 1] = RNG.standard_normal((T, n_sc, n_ag)) * 0.5
+    motion[..., 2] = RNG.standard_normal((T, n_sc, n_ag)) * 0.1
+
+    # scene 0 scripts:
+    ts = np.arange(T, dtype=np.float32)
+    # agent 0 exits the +x boundary (50) around t=15
+    pose[:, 0, 0, 0] = 40.0 + ts * 1.0
+    pose[:, 0, 0, 1] = 0.0
+    pose[:, 0, 0, 2] = 0.0
+    # agents 1,2 converge to overlap around t=20
+    pose[:, 0, 1, 0] = -10.0 + ts * 0.5
+    pose[:, 0, 1, 1] = 10.0
+    pose[:, 0, 1, 2] = 0.0
+    pose[:, 0, 2, 0] = 10.0 - ts * 0.5
+    pose[:, 0, 2, 1] = 10.0
+    pose[:, 0, 2, 2] = np.pi
+    # agent 3 crosses the road edge at x=20 around t=10
+    pose[:, 0, 3, 0] = 15.0 + ts * 0.6
+    pose[:, 0, 3, 1] = -10.0
+    pose[:, 0, 3, 2] = 0.0
+    # agent 4 drives through the red light at (10, 0): inside then outside
+    pose[:, 0, 4, 0] = 4.0 + ts * 0.8
+    pose[:, 0, 4, 1] = 0.5
+    pose[:, 0, 4, 2] = 0.0
+    motion[:, 0, 4, 0] = 8.0
+    # agent 5 creeps along the lane y=0 at low speed (passive after 20 steps)
+    # then ends near its goal (5, 5, 0.5)
+    pose[:, 0, 5, 0] = -15.0 + ts * 0.05
+    pose[:, 0, 5, 1] = 0.3
+    pose[:, 0, 5, 2] = 0.02
+    motion[:, 0, 5, 0] = 0.4
+    pose[26:, 0, 5, 0] = 5.0
+    pose[26:, 0, 5, 1] = 4.0
+    pose[26:, 0, 5, 2] = 0.45
+
+    tl_state = np.zeros((T, n_sc, scene["tl_valid"].shape[1], 5), bool)
+    st = RNG.integers(0, 5, (T, n_sc, scene["tl_valid"].shape[1]))
+    for k in range(5):
+        tl_state[..., k] = st == k
+    tl_state[:, 0, 0] = False
+    tl_state[:, 0, 0, 1] = True  # the scripted light stays STOP
+    return valid, pose, motion, tl_state
+
+
+def gen_rule_checker():
+    scene = _build_scene()
+    T = 30
+    valid, pose, motion, tl_state = _script_trajectories(scene, T)
+
+    checker = TrafficRuleChecker(
+        mp_boundary=t32(scene["mp_boundary"]),
+        mp_valid=torch.tensor(scene["mp_valid"]),
+        mp_type=torch.tensor(scene["mp_type"]),
+        mp_pos=t32(scene["mp_pos"]),
+        mp_dir=t32(scene["mp_dir"]),
+        ag_type=torch.tensor(scene["ag_type"]),
+        ag_size=t32(scene["ag_size"]),
+        ag_goal=t32(scene["ag_goal"]),
+        ag_dest=torch.tensor(scene["ag_dest"]),
+        tl_valid=torch.tensor(scene["tl_valid"]),
+        tl_pose=t32(scene["tl_pose"]),
+        disable_check=False,
+    )
+    keys = None
+    traces = {}
+    for t in range(T):
+        v = checker.check(torch.tensor(valid[t]), t32(pose[t]), t32(motion[t]),
+                          torch.tensor(tl_state[t]))
+        if keys is None:
+            keys = sorted(v)
+            traces = {k: [] for k in keys}
+        for k in keys:
+            traces[k].append(_np(v[k]))
+    outs = {k: np.stack(vs) for k, vs in traces.items()}  # [T, n_sc, n_ag]
+    n_fired = {k: int(outs[k][-1].sum()) for k in keys if not k.endswith("_this_step")}
+    print(f"    rule_checker fired: {n_fired}")
+    assert all(v > 0 for v in n_fired.values()), f"some check never fired: {n_fired}"
+    save("rule_checker",
+         dict(valid=valid, pose=pose, motion=motion, tl_state=tl_state, **scene),
+         outs, dict(T=T))
+
+
+if __name__ == "__main__":
+    torch.set_grad_enabled(False)
+    print("generating sim goldens ->", OUT)
+    gen_pose_emb()
+    gen_wosac_collision()
+    gen_rewards()
+    gen_rule_checker()
+    print("done")
