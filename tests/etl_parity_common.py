@@ -43,6 +43,11 @@ VARIANTS = (
     # on_lane_goal: goals ON aligned veh lanes -> dest topology-walk extension;
     # degenerate_pl: 1-point polyline (consumes a slot with all-invalid nodes)
     "aug", "uturn", "on_lane_goal", "degenerate_pl",
+    # dest_no_pred: the packer CLI's --dest_no_pred flag (both packers take
+    # it; pack_h5.py:886-896) — lane-associated dests resolve to the nearest
+    # aligned lane with NO topology walk, and road-edge fallbacks use the
+    # un-extended goal position
+    "dest_no_pred",
 )
 
 
@@ -100,7 +105,8 @@ def make_raw(seed: int, n_pl: int = 60, n_ag: int = 12, n_step: int = 91):
     for a in range(n_ag):
         ag_id.append(100 + a)
         # on_lane_goal needs vehicles (the lane-association branch is veh-only)
-        ag_type.append(0 if variant == "on_lane_goal" else int(rng.integers(0, 3)))
+        ag_type.append(0 if variant in ("on_lane_goal", "dest_no_pred")
+                       else int(rng.integers(0, 3)))
         ag_role.append([a == 0, a == 2, a in (0, 1)])
         pos = rng.uniform(-60, 60, 2)
         yaw = rng.uniform(-np.pi, np.pi)
@@ -129,10 +135,12 @@ def make_raw(seed: int, n_pl: int = 60, n_ag: int = 12, n_step: int = 91):
             pos = pos + np.array([vx, vy]) * 0.1
             jump = np.pi if (variant == "yaw_jump" and a % 4 == 1 and t == 50) else 0.0
             yaw += float(rng.uniform(-0.02, 0.02)) + jump  # outlier yaw-jump filter
-            if variant == "uturn" and a in (2, 5) and 30 <= t < 60:
-                # smooth clockwise u-turn: cmd classes 6 (wide, drives back:
-                # dx << -5) and 7 (tight, stays near the turn: dx >= -5)
-                yaw -= np.pi / 30
+            if variant == "uturn" and a in (2, 3, 5) and 30 <= t < 60:
+                # smooth u-turns: clockwise for cmd classes 6 (wide, drives
+                # back: dx << -5) and 7 (tight, stays near the turn:
+                # dx >= -5); agent 3 turns COUNTER-clockwise for the wide
+                # left-u-turn class 4 (heading_diff > +0.5236, dx << -5)
+                yaw += (np.pi / 30) if a == 3 else -(np.pi / 30)
             if variant == "uturn" and a == 5 and t >= 60:
                 spd = 0.0
             elif variant != "still_agents" or a == 0:
@@ -140,13 +148,13 @@ def make_raw(seed: int, n_pl: int = 60, n_ag: int = 12, n_step: int = 91):
         ag_state.append(states)
     if variant == "uturn":
         # pin the turners' speed so the u-turn geometry is deterministic
-        for a, v0 in ((2, 8.0), (5, 1.8)):
+        for a, v0 in ((2, 8.0), (3, 8.0), (5, 1.8)):
             pos = np.array(ag_state[a][0][:2])
             yaw = ag_state[a][0][6]
             spd = v0
             for t in range(n_step):
                 if 30 <= t < 60:
-                    yaw -= np.pi / 30
+                    yaw += (np.pi / 30) if a == 3 else -(np.pi / 30)
                 if a == 5 and t >= 60:
                     spd = 0.0
                 vx, vy = spd * np.cos(yaw), spd * np.sin(yaw)
@@ -154,7 +162,7 @@ def make_raw(seed: int, n_pl: int = 60, n_ag: int = 12, n_step: int = 91):
                 ag_state[a][t][6:9] = [yaw, vx, vy]
                 pos = pos + np.array([vx, vy]) * 0.1
 
-    if variant == "on_lane_goal":
+    if variant in ("on_lane_goal", "dest_no_pred"):
         # veh lanes THROUGH each agent's goal, aligned with its final heading:
         # dest-finding takes the lane-association branch and the random map-
         # topology extension walk (pack_h5.py:896-917). Each goal lane chains
@@ -228,12 +236,12 @@ def run_pipeline(mod, raw, dataset: str = "training", is_ref: bool = False, seed
     if "training" in dataset:
         mask_sim, mask_no_sim = mod.filter_episode_agents(
             episode, reduced, STEP_CURRENT, N_AG_H5_SIM, DIST_THRESH_AG, DIM_VEH_LANES)
-        _repack(mod, is_ref, episode, reduced, mask_sim)
+        _repack(mod, is_ref, episode, reduced, mask_sim, seed)
     elif "validation" in dataset:
         mask_sim, mask_no_sim = mod.filter_episode_agents(
             episode, reduced, STEP_CURRENT, N_AG_H5_SIM, DIST_THRESH_AG, DIM_VEH_LANES,
             prefix="history/")
-        _repack(mod, is_ref, episode, reduced, mask_sim)
+        _repack(mod, is_ref, episode, reduced, mask_sim, seed)
         mod.repack_episode_agents(episode, reduced, mask_sim, N_AG_H5_SIM, prefix="history/")
         mod.repack_episode_agents_no_sim(episode, reduced, mask_no_sim, N_AG_H5_NO_SIM, "")
         mod.repack_episode_agents_no_sim(episode, reduced, mask_no_sim, N_AG_H5_NO_SIM, "history/")
@@ -267,12 +275,13 @@ def run_pipeline(mod, raw, dataset: str = "training", is_ref: bool = False, seed
     return reduced
 
 
-def _repack(mod, is_ref, episode, reduced, mask_sim):
+def _repack(mod, is_ref, episode, reduced, mask_sim, seed):
+    no_pred = variant_for_seed(seed) == "dest_no_pred"
     if is_ref:
         mod.repack_episode_agents(
             episode, reduced, mask_sim, N_AG_H5_SIM,
-            DIM_VEH_LANES, DIM_CYC_LANES, DIM_PED_LANES, dest_no_pred=False)
+            DIM_VEH_LANES, DIM_CYC_LANES, DIM_PED_LANES, dest_no_pred=no_pred)
     else:
         mod.repack_episode_agents(
             episode, reduced, mask_sim, N_AG_H5_SIM,
-            DIM_VEH_LANES, DIM_CYC_LANES, DIM_PED_LANES, False, rng=np.random)
+            DIM_VEH_LANES, DIM_CYC_LANES, DIM_PED_LANES, no_pred, rng=np.random)

@@ -152,3 +152,40 @@ def test_get_polylines_from_polygon():
     pls = pk.get_polylines_from_polygon(poly)
     assert len(pls) == 4
     assert len(pls[0]) >= 10
+
+
+def test_find_dest_out_of_contract_guards():
+    """find_dest's two defensive guards for inputs the REFERENCE CRASHES on
+    (out-of-contract for the parity corpus, hence unit-tested here):
+
+    - zero road-edge polylines: the reference indexes argmin of an empty
+      norm (pack_h5.py:920) -> ValueError; we return polyline 0
+      (pack_episode.py:602).
+    - a lane-associated dest whose map id has NO outgoing edge row: the
+      reference does np.random.choice([]) (pack_h5.py:904) -> ValueError;
+      we stop the topology walk at the current lane (pack_episode.py:618).
+      Real WOMD encodes lane ends as explicit id -> -1 edge rows, so a
+      missing row never occurs in-contract.
+    """
+    rng = np.random.default_rng(0)
+    empty = np.zeros((0, 2))
+    # ped agent + no road edges -> guard returns 0
+    dest = pk.find_dest(
+        np.array([False, True, False]), np.array([1.0, 2.0, 0.0, 3.0]),
+        np.zeros((0, 2), np.int64),
+        empty, empty, np.zeros(0, np.int64), np.zeros(0, np.int64),
+        empty, empty, np.zeros(0, np.int64),
+        empty, np.zeros(0, np.int64), rng=rng)
+    assert dest == 0
+
+    # vehicle on an aligned lane whose id has no outgoing edge: walk breaks,
+    # dest stays the associated lane
+    pos_lane = np.array([[0.5, 0.0]])
+    dir_lane = np.array([[1.0, 0.0]])
+    dest = pk.find_dest(
+        np.array([True, False, False]), np.array([0.0, 0.0, 0.0, 5.0]),
+        np.zeros((0, 2), np.int64),  # no edges at all
+        pos_lane, dir_lane, np.array([77]), np.array([9]),
+        empty, empty, np.zeros(0, np.int64),
+        np.array([[100.0, 100.0]]), np.array([3]), rng=rng)
+    assert dest == 9
