@@ -51,10 +51,12 @@ class DotDict(dict):
 
 _om = types.ModuleType("omegaconf")
 _om.DictConfig = DotDict
+_om.ListConfig = list
 sys.modules.setdefault("omegaconf", _om)
 sys.modules.setdefault("transforms3d", types.ModuleType("transforms3d"))
 sys.path.insert(0, "/root/reference/src")
 
+from data_modules.womd_post_processing import WOMDPostProcessing  # noqa: E402
 from utils.pose_emb import PoseEmb  # noqa: E402
 from utils.rewards import DifferentiableReward  # noqa: E402
 from utils.traffic_rule_checker import TrafficRuleChecker  # noqa: E402
@@ -362,6 +364,58 @@ def gen_rule_checker():
          outs, dict(T=T))
 
 
+# --------------------------------------------------- WOMD post-processing
+
+
+def gen_womd_post():
+    """K=32 joint futures -> k_pred=6 marginal modes, all three aggregation
+    paths + MPA-NMS + the score-temperature rescale
+    (womd_post_processing.py:36-71)."""
+    n_sc, n_ag, K, n_step = 2, 4, 32, 80
+    # clustered futures: 3 well-separated motion modes per agent so MTR-NMS
+    # suppression and the EM empty-cluster split both do real work
+    centers = RNG.uniform(-40, 40, (n_sc, 1, 3, 1, 2)).astype(np.float32)
+    assign = RNG.integers(0, 3, (n_sc, n_ag, K))
+    t = np.linspace(0, 8, n_step, dtype=np.float32)[None, None, None, :, None]
+    heading = RNG.uniform(-np.pi, np.pi, (n_sc, n_ag, K, 1, 1)).astype(np.float32)
+    vel = np.concatenate([np.cos(heading), np.sin(heading)], -1) * RNG.uniform(
+        1, 8, (n_sc, n_ag, K, 1, 1)).astype(np.float32)
+    base = np.take_along_axis(
+        np.broadcast_to(centers, (n_sc, n_ag, 3, 1, 2)), assign[:, :, :, None, None], axis=2)
+    xy = base + vel * t + RNG.standard_normal((n_sc, n_ag, K, n_step, 2)).astype(np.float32)
+    yaw = np.broadcast_to(heading, (n_sc, n_ag, K, n_step, 1)).astype(np.float32)
+    trajs = np.concatenate([xy, yaw], -1)  # [n_sc, n_ag, K, n_step, 3]
+    scores = (RNG.standard_normal((n_sc, n_ag, K)) * 2).astype(np.float32)  # log probs
+    ag_type = np.zeros((n_sc, n_ag, 3), bool)
+    for a in range(n_ag):
+        ag_type[:, a, a % 3] = True
+
+    # the reference forward takes [n_sc, K, n_ag, ...]
+    trajs_t = t32(trajs).transpose(1, 2)
+    scores_t = t32(scores).transpose(1, 2)
+    cases = {
+        "topk": dict(mpa_nms_thresh=[2.0, 2.0, 2.0], mtr_nms_thresh=[], aggr_thresh=[],
+                     score_temperature=-1.0),
+        "mtr": dict(mpa_nms_thresh=[2.0, 2.0, 2.0], mtr_nms_thresh=[2.5, 1.0, 1.5],
+                    aggr_thresh=[], score_temperature=-1.0),
+        "aggr": dict(mpa_nms_thresh=[], mtr_nms_thresh=[], aggr_thresh=[2.5],
+                     score_temperature=0.5),
+    }
+    for name, kw in cases.items():
+        m = WOMDPostProcessing(k_pred=6, n_iter_em=3, use_ade=True,
+                               step_gt=90, step_current=10, **kw).eval()
+        if m.aggr_thresh:
+            # traj_aggr broadcasts `tensor < thresh`; this torch build rejects
+            # a python list there (hydra's ListConfig passed through under the
+            # reference's torch 1.11) — a 1-elem tensor broadcasts identically
+            m.aggr_thresh = torch.tensor(m.aggr_thresh)
+        out = m(torch.tensor(ag_type), trajs_t, scores_t)
+        meta = {k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in kw.items()}
+        save(f"womd_post_{name}",
+             dict(ag_type=ag_type, trajs=trajs, scores=scores),
+             dict(trajs=out["trajs"], scores=out["scores"]), meta)
+
+
 if __name__ == "__main__":
     torch.set_grad_enabled(False)
     print("generating sim goldens ->", OUT)
@@ -369,4 +423,5 @@ if __name__ == "__main__":
     gen_wosac_collision()
     gen_rewards()
     gen_rule_checker()
+    gen_womd_post()
     print("done")
