@@ -55,6 +55,7 @@ _om.ListConfig = list
 sys.modules.setdefault("omegaconf", _om)
 sys.modules.setdefault("transforms3d", types.ModuleType("transforms3d"))
 sys.path.insert(0, "/root/reference/src")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root (synthetic batch gen)
 
 from data_modules.womd_post_processing import WOMDPostProcessing  # noqa: E402
 from utils.pose_emb import PoseEmb  # noqa: E402
@@ -416,6 +417,70 @@ def gen_womd_post():
              dict(trajs=out["trajs"], scores=out["scores"]), meta)
 
 
+# ------------------------------------------------ scene-centric preprocessing
+
+
+def gen_preprocessing():
+    """L2 preprocessing vs the reference's SceneCentricPreProcessing
+    (scene_centric.py:39-147): sc/* inputs, gt/* targets, ref/* metadata,
+    the invalid-TL-step -> UNKNOWN merge, and the lane/stop tl_pose paths.
+    Dropout off (RNG streams are framework-specific; the dropout mask
+    semantics are pinned separately in our unit tests)."""
+    from data_modules.scene_centric import SceneCentricPreProcessing
+
+    from trafficbotsv15_tpu.config import tiny_config
+    from trafficbotsv15_tpu.data.synthetic import make_batch
+
+    cfg = tiny_config()
+    data_size = {
+        "agent/cmd": [8], "agent/goal": [4], "map/valid": [cfg.data.n_mp_pl_node],
+        "map/type": [11], "tl_stop/state": [5], "agent/spd": [1], "agent/acc": [1],
+        "agent/yaw_rate": [1], "agent/size": [3], "agent/type": [3],
+    }
+    cases = {
+        "train_lane_dest": dict(tl_mode="lane", navi_mode="dest", training=True,
+                                test_mode=False),
+        "train_stop_cmd": dict(tl_mode="stop", navi_mode="cmd", training=True,
+                               test_mode=False),
+        "test_lane_goal": dict(tl_mode="lane", navi_mode="goal", training=False,
+                               test_mode=True),
+    }
+    for name, kw in cases.items():
+        batch_np = make_batch(cfg.data, n_sc=2, seed=11, test_mode=kw["test_mode"])
+        m = SceneCentricPreProcessing(
+            time_step_current=10, tl_mode=kw["tl_mode"], navi_mode=kw["navi_mode"],
+            dropout_p_history=-1.0, data_size=data_size)
+        m.train(kw["training"])
+        tb = {k: torch.tensor(v) for k, v in batch_np.items()
+              if not k.startswith("scenario")}
+        if kw["tl_mode"] == "stop":
+            # LATENT REFERENCE BUG: stop-mode tl_pose cats [n_sc, n_tl, 2]
+            # pos with a 2-D atan2 (scene_centric.py:89-95 — no [..., [1]]
+            # keepdim slicing like the mp_pose path) -> RuntimeError. The
+            # flagship runs tl_mode=lane so the path never executed upstream.
+            # Golden the evident intent: shim atan2 to keep the last dim for
+            # the one 2-D call site; every other call keeps dims already.
+            orig_atan2 = torch.atan2
+
+            def keepdim_atan2(a, b):
+                r = orig_atan2(a, b)
+                return r.unsqueeze(-1) if r.dim() == 2 else r
+
+            torch.atan2 = keepdim_atan2
+            try:
+                out = m(dict(tb))
+            finally:
+                torch.atan2 = orig_atan2
+        else:
+            out = m(dict(tb))
+        outs = {k.replace("/", "__"): v for k, v in out.items()
+                if (k.startswith(("sc/", "gt/", "ref/")) and v is not None)}
+        save(f"preproc_{name}", {k.replace("/", "__"): v for k, v in batch_np.items()
+                                 if not k.startswith("scenario")},
+             outs, dict(tl_mode=kw["tl_mode"], navi_mode=kw["navi_mode"],
+                        training=kw["training"]))
+
+
 if __name__ == "__main__":
     torch.set_grad_enabled(False)
     print("generating sim goldens ->", OUT)
@@ -424,4 +489,5 @@ if __name__ == "__main__":
     gen_rewards()
     gen_rule_checker()
     gen_womd_post()
+    gen_preprocessing()
     print("done")
