@@ -481,6 +481,79 @@ def gen_preprocessing():
                         training=kw["training"]))
 
 
+# ------------------------------------------------------- teacher forcing
+
+
+def gen_teacher_forcing():
+    """Reference TeacherForcing init+get over every step, for the
+    DETERMINISTIC config subspace (probs in {0, 1}: torch.bernoulli(0/1) is
+    exact, so the masks are RNG-free and framework-portable). Covers spawn
+    rising-edge, warm start, epoch-decayed horizon, prob=1 agent forcing,
+    gt_sdc, the error-threshold resets against scripted drifting preds, and
+    the out-of-range zero-override branch (teacher_forcing.py:50-167)."""
+    from utils.teacher_forcing import TeacherForcing
+
+    n_sc, n_ag, n_tl, n_step = 2, 6, 4, 20
+    ag_valid = RNG.random((n_sc, n_ag, n_step)) < 0.9
+    ag_valid[:, 0] = True  # SDC always valid
+    ag_valid[:, 1, :7] = False  # late spawn -> rising edge inside spawn window
+    ag_valid[:, 2, 13:] = False
+    ag_pose = (RNG.standard_normal((n_sc, n_ag, n_step, 3)) * [20, 20, 1]).astype(np.float32)
+    ag_motion = (RNG.standard_normal((n_sc, n_ag, n_step, 3)) * 3).astype(np.float32)
+    tl_state = np.zeros((n_sc, n_tl, n_step, 5), bool)
+    st = RNG.integers(0, 5, (n_sc, n_tl, n_step))
+    for k in range(5):
+        tl_state[..., k] = st == k
+    # scripted preds: GT at step-1 plus per-agent drifts that straddle the
+    # thresholds (agent 3 big xy, agent 4 big yaw, agent 5 big spd)
+    drift_pose = np.zeros((n_sc, n_ag, 3), np.float32)
+    drift_pose[:, 3, :2] = 5.0
+    drift_pose[:, 4, 2] = 1.0  # ~57 deg
+    drift_motion = np.zeros((n_sc, n_ag, 3), np.float32)
+    drift_motion[:, 5, 0] = 4.0
+    pred_valid = ag_valid.copy()
+
+    cases = {
+        "flagship": dict(step_spawn_agent=10, step_warm_start=10, step_horizon=20,
+                         step_horizon_decrease_per_epoch=10, prob_forcing_agent=0.0,
+                         gt_sdc=False, epoch=1),
+        "reset": dict(step_spawn_agent=10, step_warm_start=3, step_horizon=0,
+                      step_horizon_decrease_per_epoch=0, prob_forcing_agent=0.0,
+                      gt_sdc=False, threshold_xy=2.0, threshold_yaw=15.0,
+                      threshold_spd=2.0, epoch=0),
+        "gtsdc_prob1": dict(step_spawn_agent=0, step_warm_start=0, step_horizon=0,
+                            step_horizon_decrease_per_epoch=0, prob_forcing_agent=1.0,
+                            gt_sdc=True, epoch=0),
+    }
+    for name, kw in cases.items():
+        epoch = kw.pop("epoch")
+        tf = TeacherForcing(**kw)
+        tf.init(torch.tensor(ag_valid), t32(ag_pose), t32(ag_motion),
+                torch.tensor(tl_state), current_epoch=epoch)
+        # capture BEFORE the get() loop: the reference's error-reset `|=`
+        # lands on a slice VIEW of ag_teacher_forcing (teacher_forcing.py:129,
+        # 137-145), so get() mutates the stored mask in place. Harmless
+        # upstream (each step is read exactly once per rollout, and init()
+        # rebuilds the mask per rollout) but the precomputed-mask golden must
+        # be the post-init state.
+        forcing_mask = _np(tf.ag_teacher_forcing).copy()
+        ag_valid_steps, tl_valid_steps = [], []
+        for step in range(n_step + 1):  # n_step = out-of-range branch
+            s = max(step - 1, 0)
+            pv = t32(ag_pose[:, :, s]) + t32(drift_pose)
+            mv = t32(ag_motion[:, :, s]) + t32(drift_motion)
+            ag_ov, tl_ov = tf.get(step, torch.tensor(pred_valid[:, :, s]), pv, mv)
+            ag_valid_steps.append(_np(ag_ov["valid"]))
+            tl_valid_steps.append(_np(tl_ov["valid"]))
+        save(f"teacher_forcing_{name}",
+             dict(ag_valid=ag_valid, ag_pose=ag_pose, ag_motion=ag_motion,
+                  tl_state=tl_state, drift_pose=drift_pose, drift_motion=drift_motion,
+                  pred_valid=pred_valid, forcing_mask=forcing_mask),
+             dict(ag_override_valid=np.stack(ag_valid_steps),
+                  tl_override_valid=np.stack(tl_valid_steps)),
+             dict(epoch=epoch, **kw))
+
+
 if __name__ == "__main__":
     torch.set_grad_enabled(False)
     print("generating sim goldens ->", OUT)
@@ -490,4 +563,5 @@ if __name__ == "__main__":
     gen_rule_checker()
     gen_womd_post()
     gen_preprocessing()
+    gen_teacher_forcing()
     print("done")
