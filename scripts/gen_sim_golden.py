@@ -554,6 +554,86 @@ def gen_teacher_forcing():
              dict(epoch=epoch, **kw))
 
 
+# ------------------------------------------------ WOSAC post-processing
+
+
+def gen_wosac_post():
+    """Reference WOSACPostProcessing tensor path: K=40 -> best-32 future
+    selection by (collision + w*road-edge) violation count over role agents,
+    then the scene-centric -> global WOMD frame transform for sim and no_sim
+    agents (wosac_post_processing.py:31-101). Violation scores are engineered
+    so the 32-future cutoff is TIE-FREE (scene 0: exactly 32 clean futures;
+    scene 1: 31 clean + one lone road-edge) — the selected SET is then
+    unique even though both frameworks' topk leave the order unspecified.
+    Proto assembly is covered separately by the byte-pinned submission
+    goldens (tests/test_submission_protos.py)."""
+    import types as _t
+
+    # the reference module imports waymo proto/spec modules at module level;
+    # forward() touches neither. Protos come from the repo's compiled stub
+    # (tests/waymo_stub); submission_specs gets an empty placeholder.
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests" / "waymo_stub"))
+    for name in ("waymo_open_dataset.utils", "waymo_open_dataset.utils.sim_agents",
+                 "waymo_open_dataset.utils.sim_agents.submission_specs"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+
+    from data_modules.wosac_post_processing import WOSACPostProcessing
+
+    n_sc, K, n_ag, n_step, n_hist, n_ns = 2, 40, 6, 31, 11, 5
+    fut0 = 11
+    pred_pose = (RNG.standard_normal((n_sc, K, n_ag, n_step, 3)) * [30, 30, 1]).astype(np.float32)
+    role = np.zeros((n_sc, n_ag, 3), bool)
+    role[:, 0, 0] = role[:, 2, 1] = role[:, 4, 2] = True  # 3 role agents
+
+    collided = np.zeros((n_sc, K, n_ag, n_step), bool)
+    road = np.zeros((n_sc, K, n_ag, n_step), bool)
+    # scene 0: futures 0..7 violate (distinct-enough, all strictly > 0)
+    for k in range(8):
+        collided[0, k, 0, fut0 + k % 15] = True
+        if k % 2:
+            road[0, k, 2, fut0 + 2] = True
+    # scene 1: future 0 has ONE road-edge touch (score 0.4), futures 1..8
+    # have collisions (score >= 1); 31 futures are clean
+    road[1, 0, 4, fut0 + 3] = True
+    for k in range(1, 9):
+        collided[1, k, 0, fut0 + k] = True
+        collided[1, k, 2, fut0 + k] = k % 2 == 0
+    violation = {
+        "collided_wosac": collided, "collided": collided, "run_road_edge": road,
+        "outside_map": np.zeros_like(collided), "passive": np.zeros_like(collided),
+        "goal_reached": np.zeros_like(collided), "dest_reached": np.zeros_like(collided),
+    }
+    buffer = _t.SimpleNamespace(
+        pred_pose=t32(pred_pose),
+        violation={k: torch.tensor(v) for k, v in violation.items()},
+        step_future_start=fut0,
+    )
+    batch = {
+        "ref/ag_role": torch.tensor(role),
+        "scenario_center": t32(RNG.uniform(-3000, 3000, (n_sc, 2))),
+        "scenario_yaw": t32(RNG.uniform(-np.pi, np.pi, n_sc)),
+        "scenario_id": [f"sc{j}_golden" for j in range(n_sc)],
+        "history/agent/valid": torch.tensor(np.ones((n_sc, n_ag, n_hist), bool)),
+        "history/agent/pos": t32(RNG.standard_normal((n_sc, n_ag, n_hist, 3)) * 20),
+        "history/agent/object_id": torch.tensor(np.arange(n_sc * n_ag).reshape(n_sc, n_ag) + 1),
+        "history/agent_no_sim/valid": torch.tensor(np.ones((n_sc, n_ns, n_hist), bool)),
+        "history/agent_no_sim/pos": t32(RNG.standard_normal((n_sc, n_ns, n_hist, 3)) * 20),
+        "history/agent_no_sim/yaw_bbox": t32(RNG.uniform(-np.pi, np.pi, (n_sc, n_ns, n_hist, 1))),
+        "history/agent_no_sim/object_id": torch.tensor(
+            np.arange(n_sc * n_ns).reshape(n_sc, n_ns) + 100),
+    }
+    m = WOSACPostProcessing(step_gt=n_step - 1, step_current=10, const_vel_z_sim=True,
+                            const_vel_no_sim=True, w_road_edge=0.4, use_wosac_col=True)
+    out = m(batch, buffer)
+    save("wosac_post",
+         dict(pred_pose=pred_pose, role=role, **{k.replace("/", "__"): v for k, v in
+              {kk: vv for kk, vv in batch.items() if kk != "scenario_id"}.items()},
+              **{f"viol_{k}": v for k, v in violation.items()}),
+         dict(pos_sim=out["pos_sim"], yaw_sim=out["yaw_sim"],
+              pos_no_sim=out["pos_no_sim"], yaw_no_sim=out["yaw_no_sim"]),
+         dict(w_road_edge=0.4, use_wosac_col=True, step_future_start=fut0))
+
+
 if __name__ == "__main__":
     torch.set_grad_enabled(False)
     print("generating sim goldens ->", OUT)
@@ -564,4 +644,5 @@ if __name__ == "__main__":
     gen_womd_post()
     gen_preprocessing()
     gen_teacher_forcing()
+    gen_wosac_post()
     print("done")
