@@ -16,15 +16,20 @@ from trafficbotsv15_tpu.data.preprocessing import pre_processing
 from trafficbotsv15_tpu.data.synthetic import make_batch
 from trafficbotsv15_tpu.train.pipeline import build_model, init_params, training_forward
 
-# regenerated 2026-08-16 after the kv projection became explicit params
-# (kv_w/kv_b, concat-fused with rpe) — param init RNG paths changed
+# regenerated 2026-08-21: the TL pre-pass (on by default since round 4, and
+# actually firing in training since the trace-gate fix) moves the TL encoder
+# out of the scan, so its DROPOUT keys are consumed on a different path —
+# the training-loss realization shifts (~1%) while the dropout-free loss
+# stays bit-equal prepass-on vs -off (verified before re-pinning; the
+# pre-2026-08-21 values are reproduced exactly by tl_prepass=False up to the
+# fold_in key-derivation change). mp_feat values unchanged.
 GOLDEN = {
     "mp_feat_sum": 675.9125366210938,
     "mp_feat_absmean": 0.9132077097892761,
-    "loss": 9.206026077270508,
-    "training/vae_kl": 2.7455389499664307,
-    "training/navi_loss": 1.339208960533142,
-    "training/tl_state_loss": 2.7123923301696777,
+    "loss": 9.101146697998047,
+    "training/vae_kl": 2.745497465133667,
+    "training/navi_loss": 1.3392088413238525,
+    "training/tl_state_loss": 2.6139004230499268,
 }
 
 
