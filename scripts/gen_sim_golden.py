@@ -417,6 +417,80 @@ def gen_womd_post():
              dict(trajs=out["trajs"], scores=out["scores"]), meta)
 
 
+# ------------------------------------------------------- logging metrics
+
+
+def gen_logging_metrics():
+    """Reference ErrorMetrics / TrafficRuleMetrics running sums + compute
+    normalization (metrics/logging.py), accumulated over TWO update calls.
+    torchmetrics is absent from this image; its Metric base is stubbed (the
+    reference classes use only add_state + attribute access —
+    dist-reduce behavior is our metrics' own mesh-psum path, tested in
+    tests/test_multiprocess_integration.py)."""
+    import types as _t
+
+    class _Metric:
+        def __init__(self):
+            pass
+
+        def add_state(self, name, default=None, dist_reduce_fx=None):
+            setattr(self, name, default)
+
+    _tm = types.ModuleType("torchmetrics")
+    _tmm = types.ModuleType("torchmetrics.metric")
+    _tmm.Metric = _Metric
+    _tm.metric = _tmm
+    sys.modules.setdefault("torchmetrics", _tm)
+    sys.modules.setdefault("torchmetrics.metric", _tmm)
+
+    from models.metrics.logging import ErrorMetrics, TrafficRuleMetrics
+
+    n_sc, K, n_ag, n_gt = 2, 3, 6, 21
+    step_start, step_end = 1, n_gt - 1
+    n_buf = step_end - step_start + 1
+
+    batches = []
+    for b in range(2):
+        gt_valid = RNG.random((n_sc, n_ag, n_gt)) < 0.85
+        gt_pose = (RNG.standard_normal((n_sc, n_ag, n_gt, 3)) * [15, 15, 1]).astype(np.float32)
+        gt_motion = (RNG.standard_normal((n_sc, n_ag, n_gt, 3)) * 3).astype(np.float32)
+        pred_valid1 = RNG.random((n_sc, 1, n_ag, n_buf)) < 0.9
+        pred_pose1 = gt_pose[:, None, :, step_start:] + (
+            RNG.standard_normal((n_sc, 1, n_ag, n_buf, 3)) * 0.8).astype(np.float32)
+        pred_motion1 = gt_motion[:, None, :, step_start:] + (
+            RNG.standard_normal((n_sc, 1, n_ag, n_buf, 3)) * 0.5).astype(np.float32)
+        pred_validK = RNG.random((n_sc, K, n_ag, n_buf)) < 0.9
+        viol = {k: RNG.random((n_sc, K, n_ag, n_buf)) < p for k, p in [
+            ("outside_map", 0.02), ("collided", 0.05), ("run_road_edge", 0.04),
+            ("run_red_light", 0.03), ("passive", 0.03), ("goal_reached", 0.1),
+            ("dest_reached", 0.08)]}
+        ag_type = np.zeros((n_sc, n_ag, 3), bool)
+        for a in range(n_ag):
+            ag_type[:, a, a % 3] = True
+        batches.append(dict(gt_valid=gt_valid, gt_pose=gt_pose, gt_motion=gt_motion,
+                            pred_valid1=pred_valid1, pred_pose1=pred_pose1,
+                            pred_motion1=pred_motion1, pred_validK=pred_validK,
+                            ag_type=ag_type, **{f"viol_{k}": v for k, v in viol.items()}))
+
+    em = ErrorMetrics(prefix="reactive_replay")
+    trm = TrafficRuleMetrics(prefix="reactive_replay")
+    for b in batches:
+        buf1 = _t.SimpleNamespace(
+            pred_valid=torch.tensor(b["pred_valid1"]), pred_pose=t32(b["pred_pose1"]),
+            pred_motion=t32(b["pred_motion1"]), step_start=step_start, step_end=step_end)
+        em.update(buf1, torch.tensor(b["gt_valid"]), t32(b["gt_pose"]), t32(b["gt_motion"]))
+        bufK = _t.SimpleNamespace(
+            pred_valid=torch.tensor(b["pred_validK"]),
+            violation={k[5:]: torch.tensor(v) for k, v in b.items() if k.startswith("viol_")})
+        trm.update(bufK, torch.tensor(b["ag_type"]))
+    out = {k.replace("/", "__"): _np(v) for k, v in {**em.compute(), **trm.compute()}.items()}
+
+    ins = {}
+    for i, b in enumerate(batches):
+        ins.update({f"b{i}_{k}": v for k, v in b.items()})
+    save("logging_metrics", ins, out, dict(step_start=step_start, n_batches=2))
+
+
 # ------------------------------------------------ scene-centric preprocessing
 
 
@@ -645,4 +719,5 @@ if __name__ == "__main__":
     gen_preprocessing()
     gen_teacher_forcing()
     gen_wosac_post()
+    gen_logging_metrics()
     print("done")
