@@ -708,6 +708,144 @@ def gen_wosac_post():
          dict(w_road_edge=0.4, use_wosac_col=True, step_future_start=fut0))
 
 
+# ---------------------------------------------------------------- dynamics
+def gen_dynamics():
+    """Stateful reference Dynamics over a scripted multi-step scenario
+    (src/utils/dynamics.py:11-222): per-type MultiPathPP action bounding +
+    midpoint integration, player overrides, teacher-forcing override_ag,
+    override_tl argmax+GT, sticky disable_ag, disable_navi/override_navi —
+    plus the StateIntegrator variant at function level (dynamics.py:277-318).
+    """
+    _hy = types.ModuleType("hydra")
+    _hy_utils = types.ModuleType("hydra.utils")
+
+    def _instantiate(cfg, **kw):
+        import utils.dynamics as rd
+
+        cls = getattr(rd, cfg["_target_"].split(".")[-1])
+        kwargs = {k: v for k, v in cfg.items() if k != "_target_"}
+        kwargs.update(kw)
+        return cls(**kwargs)
+
+    _hy_utils.instantiate = _instantiate
+    _hy.utils = _hy_utils
+    sys.modules.setdefault("hydra", _hy)
+    sys.modules.setdefault("hydra.utils", _hy_utils)
+
+    from torch.distributions import Categorical, Independent, Normal  # noqa: E402
+    from utils.dynamics import Dynamics, StateIntegrator  # noqa: E402
+
+    n_sc, n_ag, n_tl, T = 2, 6, 3, 16
+    rng = np.random.default_rng(20260821)
+
+    def cfgd(acc, yr):
+        return DotDict({"_target_": "utils.dynamics.MultiPathPP", "max_acc": acc, "max_yaw_rate": yr})
+
+    for case, navi_mode, veh_all in (
+        ("dynamics_dest", "dest", False),
+        ("dynamics_goal", "goal", False),
+        ("dynamics_vehall", "dest", True),
+    ):
+        # flagship bounds (configs/model/sim_agent.yaml:154-167): veh 5/1.5, ped 7/7, cyc 6/3
+        dyn = Dynamics(veh=cfgd(5, 1.5), ped=cfgd(7, 7), cyc=cfgd(6, 3),
+                       navi_mode=navi_mode, use_veh_dynamics_for_all=veh_all)
+        ag_type = torch.zeros(n_sc, n_ag, 3, dtype=torch.bool)
+        for a in range(n_ag):
+            ag_type[:, a, a // 2] = True  # 2 veh, 2 ped, 2 cyc
+        gt_valid = torch.ones(n_sc, n_ag, T, dtype=torch.bool)
+        gt_valid[0, 5, 0] = False  # scene-0 agent 5 starts invalid, spawned at t=10
+        gt_pose = t32(rng.normal(0, 10, (n_sc, n_ag, T, 3)))
+        gt_motion = t32(rng.normal(0, 2, (n_sc, n_ag, T, 3)))
+        tl_state0 = torch.zeros(n_sc, n_tl, T, 5, dtype=torch.bool)
+        tl_state0[..., 0] = True
+        if navi_mode == "dest":
+            ag_navi = torch.tensor(rng.integers(0, 50, (n_sc, n_ag)))
+        else:
+            ag_navi = t32(rng.normal(0, 5, (n_sc, n_ag, 4)))
+        dyn.init(tl_state=tl_state0, gt_valid=gt_valid, gt_pose=gt_pose,
+                 gt_motion=gt_motion, ag_type=ag_type,
+                 ag_attr=t32(rng.normal(0, 1, (n_sc, n_ag, 4))), ag_latent=None,
+                 ag_latent_valid=None, ag_navi=ag_navi,
+                 ag_navi_valid=torch.ones(n_sc, n_ag, dtype=torch.bool))
+
+        locs = t32(rng.normal(0, 1.2, (T, n_sc, n_ag, 2)))
+        scales = t32(np.exp(rng.normal(-0.5, 0.3, (T, n_sc, n_ag, 2))))
+        po_valid = torch.zeros(T, n_sc, n_ag, dtype=torch.bool)
+        po_valid[5:8, :, 0] = True
+        po_valid[6, :, 1] = True
+        po_action = t32(rng.normal(0, 2, (T, n_sc, n_ag, 2)))
+        tf_valid = torch.zeros(T, n_sc, n_ag, dtype=torch.bool)
+        tf_valid[3, :, 2] = True
+        tf_valid[10, 0, 5] = True  # spawn
+        tf_valid[12, :, 3] = True
+        tf_valid[13, :, 2] = True  # re-force agent 2 AFTER its t=12 disable: must stay out
+        tf_pose = t32(rng.normal(0, 10, (T, n_sc, n_ag, 3)))
+        tf_motion = t32(rng.normal(0, 2, (T, n_sc, n_ag, 3)))
+        tl_probs = t32(rng.dirichlet(np.ones(5), (T, n_sc, n_tl)))
+        tl_ov_valid = torch.zeros(T, n_sc, n_tl, dtype=torch.bool)
+        tl_ov_valid[::2, :, 0] = True
+        tl_ov_valid[7:, 1, 2] = True
+        tl_ov_state = torch.zeros(T, n_sc, n_tl, 5, dtype=torch.bool)
+        tl_ov_state[..., 1] = True
+        outside = torch.zeros(T, n_sc, n_ag, dtype=torch.bool)
+        outside[12, :, 2] = True
+        outside[14, 0, 3] = True
+        dis_gt_valid = torch.ones(T, n_sc, n_ag, dtype=torch.bool)
+        dis_gt_valid[12, :, 2] = False  # agent 2 not GT-protected -> disabled at t=12
+        reached = torch.zeros(T, n_sc, n_ag, dtype=torch.bool)
+        reached[6, :, 0] = True
+        reached[9, 1, 4] = True
+        if navi_mode == "dest":
+            new_navi = torch.tensor(rng.integers(0, 50, (T, n_sc, n_ag)))
+        else:
+            new_navi = t32(rng.normal(0, 5, (T, n_sc, n_ag, 4)))
+
+        keys = ("action", "action_log_prob", "ag_valid", "ag_disabled", "ag_pose",
+                "ag_motion", "tl_state", "ag_navi", "ag_navi_valid", "mask_navi_reached")
+        outs = {k: [] for k in keys}
+        for t in range(T):
+            dist = Independent(Normal(locs[t], scales[t]), 1)
+            po = {"valid": po_valid[t], "action": po_action[t]} if bool(po_valid[t].any()) else None
+            action, lp = dyn.update_ag(dist, deterministic=True, player_override=po)
+            dyn.override_ag({"valid": tf_valid[t], "pose": tf_pose[t], "motion": tf_motion[t]})
+            dyn.override_tl(Categorical(probs=tl_probs[t]),
+                            {"valid": tl_ov_valid[t], "state": tl_ov_state[t]})
+            dyn.disable_ag({"outside_map_this_step": outside[t]}, dis_gt_valid[t])
+            dyn.disable_navi({"dest_reached_this_step": reached[t],
+                              "goal_reached_this_step": reached[t]})
+            if bool(reached[t].any()):
+                dyn.override_navi(new_navi[t])
+            for k, v in (("action", action), ("action_log_prob", lp),
+                         ("ag_valid", dyn.ag_valid), ("ag_disabled", dyn.ag_disabled),
+                         ("ag_pose", dyn.ag_pose), ("ag_motion", dyn.ag_motion),
+                         ("tl_state", dyn.tl_state), ("ag_navi", dyn.ag_navi),
+                         ("ag_navi_valid", dyn.ag_navi_valid),
+                         ("mask_navi_reached", dyn.mask_navi_reached)):
+                outs[k].append(_np(v).copy())
+        save(case,
+             dict(ag_type=ag_type, gt_valid=gt_valid, gt_pose=gt_pose, gt_motion=gt_motion,
+                  tl_state0=tl_state0, ag_navi0=ag_navi, locs=locs, scales=scales,
+                  po_valid=po_valid, po_action=po_action, tf_valid=tf_valid,
+                  tf_pose=tf_pose, tf_motion=tf_motion, tl_probs=tl_probs,
+                  tl_ov_valid=tl_ov_valid, tl_ov_state=tl_ov_state, outside=outside,
+                  dis_gt_valid=dis_gt_valid, reached=reached, new_navi=new_navi),
+             {k: np.stack(v) for k, v in outs.items()},
+             meta={"navi_mode": navi_mode, "veh_all": veh_all, "dt": 0.1})
+
+    # StateIntegrator at function level (never wired into the flagship yaml,
+    # but selectable via the hydra dynamics block)
+    si = StateIntegrator(dt=0.1, max_v=3)
+    act_unb = t32(rng.normal(0, 1.5, (2, 6, 2)))
+    pose = t32(rng.normal(0, 10, (2, 6, 3)))
+    motion = t32(rng.normal(0, 2, (2, 6, 3)))
+    act = si.process_action(act_unb)
+    pp, pm = si.update(pose, motion, act)
+    save("dynamics_integrator",
+         dict(action_unbounded=act_unb, pose=pose, motion=motion),
+         dict(action=act, pred_pose=pp, pred_motion=pm),
+         meta={"dt": 0.1, "max_v": 3.0})
+
+
 if __name__ == "__main__":
     torch.set_grad_enabled(False)
     print("generating sim goldens ->", OUT)
@@ -720,4 +858,5 @@ if __name__ == "__main__":
     gen_teacher_forcing()
     gen_wosac_post()
     gen_logging_metrics()
+    gen_dynamics()
     print("done")

@@ -109,6 +109,41 @@ def override_ag(
     return new_valid, jnp.where(ovx, ov_pose, pose), jnp.where(ovx, ov_motion, motion)
 
 
+def disable_outside_map(
+    valid: jnp.ndarray,  # [n_sc, n_ag] post-override validity
+    disabled: jnp.ndarray,  # [n_sc, n_ag] sticky disable accumulator
+    outside_map_this_step: jnp.ndarray,  # [n_sc, n_ag]
+    gt_valid: jnp.ndarray,  # [n_sc, n_ag] GT-valid agents are never disabled
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Disable agents that left the map unless GT-valid (dynamics.py:165-181).
+
+    Returns (new_valid, new_disabled). Disabled agents cannot be re-spawned:
+    `override_ag` masks its override validity with ~disabled.
+    """
+    disable = outside_map_this_step & ~gt_valid
+    return valid & ~disable, disabled | disable
+
+
+def update_navi_on_reached(
+    navi: jnp.ndarray,  # dest [n_sc, n_ag] | goal/cmd [n_sc, n_ag, d]
+    navi_valid: jnp.ndarray,  # [n_sc, n_ag]
+    reached: jnp.ndarray,  # [n_sc, n_ag] *_reached_this_step
+    new_navi: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Navi bookkeeping once reached (dynamics.py:183-222).
+
+    `disable_navi`: the reached navi is invalidated. If the model re-predicted
+    a replacement (`new_navi`, from pred_navi_after_reached), `override_navi`
+    installs it for the reached agents and re-validates them.
+    """
+    navi_valid = navi_valid & ~reached
+    if new_navi is not None:
+        m = reached if navi.ndim == 2 else reached[..., None]
+        navi = jnp.where(m, new_navi.astype(navi.dtype), navi)
+        navi_valid = navi_valid | reached
+    return navi, navi_valid
+
+
 def override_tl(
     tl_logits: jnp.ndarray,  # [n_sc, n_tl, n_state] predicted logits
     ov_valid: jnp.ndarray,  # [n_sc, n_tl]

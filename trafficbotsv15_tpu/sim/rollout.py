@@ -400,9 +400,9 @@ def rollout(
             nll_invalid = jnp.where(x["tl_avail"], tl_tokens.invalid, jnp.ones_like(tl_tokens.invalid))
 
         # disable agents that left the map unless GT-valid (dynamics.py:165-181)
-        disable = violations["outside_map_this_step"] & ~step_gt_valid
-        disabled = c.disabled | disable
-        ov_valid = ov_valid & ~disable
+        ov_valid, disabled = dyn.disable_outside_map(
+            ov_valid, c.disabled, violations["outside_map_this_step"], step_gt_valid
+        )
 
         # navi bookkeeping (dynamics.py:183-222): invalidate once reached;
         # optionally re-predict a fresh navi for reached agents
@@ -413,7 +413,7 @@ def rollout(
             navi_reached = violations["goal_reached_this_step"]
         else:
             navi_reached = jnp.zeros_like(c.valid)
-        navi, navi_valid = c.navi, c.navi_valid & ~navi_reached
+        navi, navi_valid = dyn.update_navi_on_reached(c.navi, c.navi_valid, navi_reached)
         dyn_statics = c.dyn_statics
         if repredict_navi:
             navi_dist = model.apply(
@@ -422,9 +422,9 @@ def rollout(
             )
             navi_sample = navi_dist.sample(k_navi, False)
             navi_lp = navi_dist.log_prob(jax.lax.stop_gradient(navi_sample))
-            m = navi_reached if navi.ndim == 2 else navi_reached[..., None]
-            navi = jnp.where(m, navi_sample.astype(navi.dtype), navi)
-            navi_valid = navi_valid | navi_reached
+            navi, navi_valid = dyn.update_navi_on_reached(
+                c.navi, c.navi_valid, navi_reached, navi_sample
+            )
             # rule_checker.update_navi (traffic_rule_checker.py:321-340)
             if navi_mode == "dest":
                 from trafficbotsv15_tpu.sim.rule_checker import dest_statics_from_navi
